@@ -1,0 +1,257 @@
+package graft.extract
+
+import graft.boiler.Boilerplate
+import graft.classify.Detector
+import graft.html.BlockSegmenter
+import graft.model._
+import graft.pdf.PdfParser
+import graft.text.PyText
+
+/** Payload dispatch: `%PDF-` magic → PDF text-layer parse, else HTML
+  * (the reference's `.pdf` suffix gate, service/main.py:434-435, becomes
+  * a payload-magic gate per SURVEY.md §2.1 S2).
+  */
+object DocParser {
+  def parse(payload: Array[Byte]): Either[String, ParsedDoc] =
+    if (payload == null || payload.isEmpty) Right(ParsedDoc(Vector.empty))
+    else if (PdfParser.isPdf(payload)) PdfParser.parse(payload)
+    else
+      try Right(BlockSegmenter.parseHtml(
+        new String(payload, java.nio.charset.StandardCharsets.UTF_8)))
+      catch { case e: Exception => Left(s"HTML parse error: ${e.getMessage}") }
+}
+
+/** Extraction backend abstraction — the rebuild's `BaseOCRBackend`
+  * (reference: src/text_extraction/backends/base.py:68-118). Backends are
+  * deterministic Scala kernels instead of remote OCR calls; the routing,
+  * availability and fallback semantics around them are preserved
+  * verbatim.
+  */
+trait ExtractionBackend extends Serializable {
+  def name: String
+  /** ExtractionMethod value recorded on page results (base.py:15-20). */
+  def method: String
+  def isAvailable: Boolean
+  /** Extract text for one 1-indexed page. May throw (exceptions feed the
+    * fallback cascade exactly like the reference, processor.py:343-363).
+    */
+  def extractText(doc: ParsedDoc, pageNumber: Int): String
+}
+
+/** Primary "OCR" stand-in: boilerplate-stripped main content + image alt
+  * text (SURVEY.md §2.8 K2 — same pipeline role as the LLM OCR backends:
+  * an expensive, higher-quality extraction for low-text-signal pages).
+  */
+final class BoilerplateBackend(
+    boiler: Boilerplate = Boilerplate.default) extends ExtractionBackend {
+  val name = "boilerplate"
+  val method = Enums.LlmOcr
+  def isAvailable: Boolean = true
+  def extractText(doc: ParsedDoc, pageNumber: Int): String =
+    if (pageNumber < 1 || pageNumber > doc.totalPages) ""
+    else boiler.extract(doc.pages(pageNumber - 1))
+}
+
+/** Fallback "OCR" stand-in: raw image alt text only (the cheap local path
+  * — plays the reference's Tesseract role, backends/tesseract.py:67-131).
+  */
+final class AltTextBackend extends ExtractionBackend {
+  val name = "alttext"
+  val method = Enums.Tesseract
+  def isAvailable: Boolean = true
+  def extractText(doc: ParsedDoc, pageNumber: Int): String =
+    if (pageNumber < 1 || pageNumber > doc.totalPages) ""
+    else doc.pages(pageNumber - 1).blocks
+      .filter(b => b.tpe == Block.ImageType && !PyText.isBlank(b.alt))
+      .map(b => BlockSegmenter.normalize(b.alt))
+      .mkString("\n")
+}
+
+/** Direct text-layer read — the analog of PyMuPDF `page.get_text()`
+  * (processor.py:308-313): every text block's text, one block per line,
+  * each followed by a newline; empty page → "".
+  */
+object DirectExtract {
+  def pageText(doc: ParsedDoc, pageNumber: Int): String = {
+    if (pageNumber < 1 || pageNumber > doc.totalPages) return ""
+    val sb = new java.lang.StringBuilder()
+    doc.pages(pageNumber - 1).blocks.foreach { b =>
+      if (b.tpe == Block.TextType && b.text.nonEmpty) {
+        sb.append(b.text).append('\n')
+      }
+    }
+    sb.toString
+  }
+}
+
+/** The two-pass extraction processor — classification → per-page OCR-need
+  * decision → extract with fallback cascade → byte-exact composition.
+  * Direct port of the reference's `TwoPassProcessor` semantics
+  * (src/text_extraction/processor.py:39-472) over parsed payloads.
+  */
+final class Processor(
+    primaryBackend: Option[ExtractionBackend] = Some(new BoilerplateBackend()),
+    fallbackBackend: Option[ExtractionBackend] = Some(new AltTextBackend()),
+    config: ProcessorConfig = ProcessorConfig(),
+    detector: Detector = Detector.default) extends Serializable {
+
+  /** OCR-need predicate (processor.py:248-276). */
+  def pageNeedsOcr(pageNumber: Int, classification: Classification, quality: String): Boolean = {
+    if (quality == Enums.Fast) false
+    else if (classification.image_pages.contains(pageNumber)) true
+    else quality == Enums.Accurate && classification.hybrid_pages.contains(pageNumber)
+  }
+
+  /** Fallback cascade (processor.py:315-386). Returns
+    * (text, method, backendName, error).
+    */
+  def extractWithOcr(doc: ParsedDoc, pageNumber: Int): (String, String, String, Option[String]) = {
+    var primaryError = "backend unavailable"
+    primaryBackend match {
+      case Some(b) if b.isAvailable =>
+        try {
+          val text = b.extractText(doc, pageNumber)
+          if (!PyText.isBlank(text)) return (text, b.method, b.name, None)
+          primaryError = "empty response from primary backend"
+        } catch { case e: Exception => primaryError = errStr(e) }
+      case _ =>
+    }
+    if (config.fallbackOnError) fallbackBackend match {
+      case Some(b) if b.isAvailable =>
+        try {
+          val text = b.extractText(doc, pageNumber)
+          if (!PyText.isBlank(text)) return (text, b.method, b.name, None)
+        } catch { case e: Exception => return ("", Enums.Direct, "none", Some(errStr(e))) }
+      case _ =>
+    }
+    ("", Enums.Direct, "none", Some(primaryError))
+  }
+
+  private def errStr(e: Exception): String =
+    if (e.getMessage == null) e.getClass.getSimpleName else e.getMessage
+
+  /** Per-page extract (processor.py:278-313). */
+  def extractPageText(
+      doc: ParsedDoc,
+      pageNumber: Int,
+      needsOcr: Boolean): (String, String, String, Option[String]) = {
+    if (needsOcr && primaryBackend.isDefined) {
+      val (text, method, backendName, error) = extractWithOcr(doc, pageNumber)
+      if (!PyText.isBlank(text)) return (text, method, backendName, None)
+      // OCR failed or empty — fall through to direct with the error kept.
+      val direct = DirectExtract.pageText(doc, pageNumber)
+      return (direct, Enums.Direct, "direct", error)
+    }
+    (DirectExtract.pageText(doc, pageNumber), Enums.Direct, "direct", None)
+  }
+
+  /** Per-page loop (processor.py:177-246): page results in order plus
+    * error records for OCR-needing pages that errored.
+    */
+  def processPages(
+      doc: ParsedDoc,
+      classification: Classification,
+      quality: String): (Vector[PageResult], Vector[PageError]) = {
+    val results = Vector.newBuilder[PageResult]
+    val errors = Vector.newBuilder[PageError]
+    var pageNumber = 1
+    while (pageNumber <= doc.totalPages) {
+      val needsOcr = pageNeedsOcr(pageNumber, classification, quality)
+      val (text, method, backendName, error) = extractPageText(doc, pageNumber, needsOcr)
+      if (error.isDefined && needsOcr)
+        errors += PageError(pageNumber, backendName, error.get)
+      results += PageResult(
+        page_number = pageNumber,
+        text = text,
+        confidence = if (method == Enums.Direct) 1.0 else 0.9, // processor.py:239
+        method = method,
+        word_count = if (text.nonEmpty) PyText.wordCount(text) else 0)
+      pageNumber += 1
+    }
+    (results.result(), errors.result())
+  }
+
+  /** Text composition (processor.py:403-432): skip blank pages, page
+    * markers `--- Page {n} ---` / `--- Page {n} (OCR: {method}) ---`,
+    * marker + "\n" + text per part.
+    */
+  def buildTextParts(pageResults: Seq[PageResult]): Vector[String] = {
+    val parts = Vector.newBuilder[String]
+    pageResults.foreach { r =>
+      if (!PyText.isBlank(r.text)) {
+        if (config.includePageMarkers) {
+          val marker =
+            if (r.method == Enums.Direct) s"--- Page ${r.page_number} ---"
+            else s"--- Page ${r.page_number} (OCR: ${r.method}) ---"
+          parts += s"$marker\n${r.text}"
+        } else parts += r.text
+      }
+    }
+    parts.result()
+  }
+
+  /** Overall method label (processor.py:434-472). */
+  def determineExtractionMethod(
+      classification: Classification,
+      pageResults: Seq[PageResult]): String = {
+    val backendsUsed = pageResults.collect {
+      case r if r.method != Enums.Direct => r.method
+    }.toSet
+    if (backendsUsed.nonEmpty)
+      s"hybrid (direct + ${backendsUsed.toVector.sorted.mkString(", ")})"
+    else if (classification.pdf_type == Enums.PureImage && primaryBackend.isDefined)
+      "direct (no OCR backend available)"
+    else "direct"
+  }
+
+  /** Full extraction of one payload row (processor.py:61-175). */
+  def extract(page: Page, quality: String): ExtractionRecord = {
+    DocParser.parse(page.html) match {
+      case Left(err) =>
+        ExtractionRecord(
+          url = page.url, success = false, pdf_type = Enums.Unknown,
+          total_pages = 0, text = "", word_count = 0, confidence = 0.0,
+          extraction_method = "error", quality = quality, lang = page.lang,
+          text_pages = Nil, image_pages = Nil, hybrid_pages = Nil,
+          pages = Nil, page_errors = Nil,
+          attempted_pages = 0, successful_pages = 0, failed_pages = 0,
+          error = Some(err))
+      case Right(doc) =>
+        val classification = detector.classify(doc)
+        val (pageResults, pageErrors) = processPages(doc, classification, quality)
+        // Backend counters (processor.py:116-124).
+        val attempted = pageResults.count(r =>
+          pageNeedsOcr(r.page_number, classification, quality))
+        val failed = pageErrors.length
+        val fullText = buildTextParts(pageResults).mkString("\n\n")
+        ExtractionRecord(
+          url = page.url,
+          success = true,
+          pdf_type = classification.pdf_type,
+          total_pages = classification.total_pages,
+          text = fullText,
+          word_count = PyText.wordCount(fullText),
+          confidence = classification.confidence,
+          extraction_method = determineExtractionMethod(classification, pageResults),
+          quality = quality,
+          lang = page.lang,
+          text_pages = classification.text_pages,
+          image_pages = classification.image_pages,
+          hybrid_pages = classification.hybrid_pages,
+          pages = pageResults,
+          page_errors = pageErrors,
+          attempted_pages = attempted,
+          successful_pages = attempted - failed,
+          failed_pages = failed,
+          error = None)
+    }
+  }
+}
+
+object Processor {
+  val default = new Processor()
+  /** Processor with no OCR backends: routing forces direct-only
+    * (router.py:142-143 analog at kernel level).
+    */
+  val directOnly = new Processor(primaryBackend = None, fallbackBackend = None)
+}

@@ -1,0 +1,111 @@
+package graft.html
+
+import graft.model.{Block, DocPage, ParsedDoc}
+import graft.text.PyText
+import scala.collection.mutable.ArrayBuffer
+
+/** DOM → typed block model, the HTML analog of PyMuPDF's
+  * `page.get_text("dict")["blocks"]` view that the reference classifies
+  * on (reference: src/text_extraction/detector.py:147-156).
+  *
+  * Contract (deterministic, documented subset):
+  *  - Pages: the `<body>`'s direct `<section>` children, in document
+  *    order, are the document's pages; a body without sections is one
+  *    single page. (Mirrors the reference's PDF page axis for multi-page
+  *    fixtures, tests/conftest.py:141-214.)
+  *  - A text block (type 0) is a maximal run of inline content inside one
+  *    block-level element, whitespace-collapsed; empty runs emit nothing.
+  *  - An `<img>` emits an image block (type 1) carrying its alt text.
+  *  - `script`/`style`/`head`/`noscript`/`template`/`svg`/`iframe`
+  *    subtrees are invisible.
+  *  - Each block records its enclosing boilerplate context
+  *    (nav/header/footer/aside) and its anchored-character count for
+  *    link-density scoring downstream.
+  */
+object BlockSegmenter {
+
+  private val skipTags = Set("script", "style", "head", "noscript",
+    "template", "svg", "iframe", "object", "select", "datalist")
+
+  private val boilerCtxTags = Set("nav", "header", "footer", "aside")
+
+  val blockTags = Set("p", "div", "section", "article", "main", "aside",
+    "nav", "header", "footer", "h1", "h2", "h3", "h4", "h5", "h6", "ul",
+    "ol", "li", "dl", "dt", "dd", "table", "thead", "tbody", "tfoot",
+    "tr", "td", "th", "blockquote", "pre", "figure", "figcaption",
+    "form", "fieldset", "address", "details", "summary", "caption",
+    "hr", "body", "html")
+
+  /** Collapse whitespace runs (Python-space classes) to single spaces and
+    * trim — one canonical spacing for block text.
+    */
+  def normalize(s: String): String = PyText.pySplit(s).mkString(" ")
+
+  private final class BlockBuf {
+    val sb = new java.lang.StringBuilder()
+    var anchorChars = 0
+    var tag = "body"
+    var ctx = ""
+  }
+
+  /** Segment a page-root element into blocks. */
+  def segment(pageRoot: Element): Vector[Block] = {
+    val out = new ArrayBuffer[Block](16)
+    val buf = new BlockBuf
+
+    def flush(): Unit = {
+      val norm = normalize(buf.sb.toString)
+      if (norm.nonEmpty)
+        out += Block(Block.TextType, norm, math.min(buf.anchorChars, norm.length), buf.tag, buf.ctx, "")
+      buf.sb.setLength(0)
+      buf.anchorChars = 0
+    }
+
+    def walk(el: Element, ctx: String, anchorDepth: Int): Unit = {
+      el.children.foreach {
+        case TextNode(t) =>
+          buf.sb.append(t)
+          if (anchorDepth > 0) buf.anchorChars += normalize(t).length
+        case child: Element =>
+          val tag = child.tag
+          if (skipTags.contains(tag)) ()
+          else if (tag == "img") {
+            flush()
+            out += Block(Block.ImageType, "", 0, "img", ctx, child.attr("alt"))
+          } else if (tag == "br" || tag == "hr") {
+            buf.sb.append(' ')
+          } else if (blockTags.contains(tag)) {
+            flush()
+            val childCtx = if (boilerCtxTags.contains(tag)) tag else ctx
+            val prevTag = buf.tag; val prevCtx = buf.ctx
+            buf.tag = tag; buf.ctx = childCtx
+            walk(child, childCtx, anchorDepth)
+            flush()
+            buf.tag = prevTag; buf.ctx = prevCtx
+          } else {
+            // Inline element (a, b, i, em, strong, span, ...).
+            val depth = if (tag == "a") anchorDepth + 1 else anchorDepth
+            buf.sb.append(' ')
+            walk(child, ctx, depth)
+            buf.sb.append(' ')
+          }
+      }
+    }
+
+    walk(pageRoot, initialCtx(pageRoot), 0)
+    flush()
+    out.toVector
+  }
+
+  private def initialCtx(el: Element): String =
+    if (boilerCtxTags.contains(el.tag)) el.tag else ""
+
+  /** Full HTML payload → pages of blocks. */
+  def parseHtml(html: String): ParsedDoc = {
+    val root = Dom.parse(html)
+    val body = Dom.find(root, "body").getOrElse(root)
+    val sections = body.children.collect { case e: Element if e.tag == "section" => e }
+    val pageRoots = if (sections.nonEmpty) sections.toVector else Vector(body)
+    ParsedDoc(pageRoots.map(r => DocPage(segment(r))))
+  }
+}

@@ -1,0 +1,477 @@
+package graft.pdf
+
+import graft.model.{Block, DocPage, ParsedDoc}
+import java.util.zip.Inflater
+import scala.collection.mutable.{ArrayBuffer, HashMap}
+
+/** From-scratch PDF text-layer parser (no pdfbox/tika in the environment;
+  * SURVEY.md §7.0/§7.5). Plays the role of the reference's PyMuPDF direct
+  * text read + block-dict view (reference:
+  * src/text_extraction/processor.py:308-313, detector.py:147-156).
+  *
+  * Supported subset (co-evolved with `PdfWriter`, plus tolerance for
+  * common real-world shapes): classic object syntax `N G obj … endobj`
+  * discovered by a single byte scan (no xref dependence — resilient to
+  * broken offsets), direct-integer or indirect `/Length`, FlateDecode
+  * streams, page-tree walk via `/Root → /Pages → /Kids`, content-stream
+  * text operators `BT ET Tf Td TD T* TL Tj TJ ' "`, image XObjects via
+  * `Do` with `/Alt` description text. Literal and hex strings with escape
+  * and octal handling, Latin-1 byte semantics.
+  *
+  * Never throws on malformed input: returns Left(error) like the
+  * reference's error path (processor.py:160-173).
+  */
+object PdfParser {
+
+  // ---- PDF value model -------------------------------------------------
+  sealed trait PVal
+  final case class PNum(v: Double) extends PVal
+  final case class PName(v: String) extends PVal
+  final case class PStr(v: String) extends PVal
+  final case class PRef(num: Int) extends PVal
+  final case class PArr(v: Vector[PVal]) extends PVal
+  final case class PDict(v: Map[String, PVal]) extends PVal
+  final case class PBool(v: Boolean) extends PVal
+  case object PNull extends PVal
+
+  final case class PObj(dict: PDict, stream: Option[Array[Byte]])
+
+  def isPdf(bytes: Array[Byte]): Boolean =
+    bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+    bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-'
+
+  def parse(bytes: Array[Byte]): Either[String, ParsedDoc] = {
+    try {
+      if (!isPdf(bytes)) return Left("not a PDF: missing %PDF- header")
+      val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val objs = scanObjects(s)
+      if (objs.isEmpty) return Left("no PDF objects found")
+
+      def deref(v: PVal): PVal = v match {
+        case PRef(n) => objs.get(n).map(_.dict).getOrElse(PNull) match {
+          case d @ PDict(_) => d
+          case _ => PNull
+        }
+        case other => other
+      }
+      def derefFull(v: PVal): Option[PObj] = v match {
+        case PRef(n) => objs.get(n)
+        case _ => None
+      }
+
+      // Find the catalog: via trailer /Root if present, else any /Type /Catalog.
+      val catalog: Option[PObj] = {
+        val viaTrailer = for {
+          tpos <- Option(s.lastIndexOf("trailer")).filter(_ >= 0)
+          dict <- parseValueAt(s, s.indexOf("<<", tpos)).collect { case (d: PDict, _) => d }
+          root <- dict.v.get("Root").collect { case PRef(n) => n }
+          obj <- objs.get(root)
+        } yield obj
+        viaTrailer.orElse(objs.values.find(o =>
+          o.dict.v.get("Type").contains(PName("Catalog"))))
+      }
+
+      val pagesRoot = catalog
+        .flatMap(c => c.dict.v.get("Pages"))
+        .flatMap(derefFull)
+
+      // Walk the page tree in order.
+      val pageObjs = ArrayBuffer[PObj]()
+      def walkKids(node: PObj, depth: Int): Unit = {
+        if (depth > 32) return
+        node.dict.v.get("Type") match {
+          case Some(PName("Page")) => pageObjs += node
+          case _ =>
+            node.dict.v.get("Kids") match {
+              case Some(PArr(kids)) =>
+                kids.foreach { k => derefFull(k).foreach(walkKids(_, depth + 1)) }
+              case _ =>
+                if (node.dict.v.contains("Contents")) pageObjs += node
+            }
+        }
+      }
+      pagesRoot match {
+        case Some(pr) => walkKids(pr, 0)
+        case None =>
+          // Fallback: all /Type /Page objects in object-number order.
+          objs.toVector.sortBy(_._1).foreach { case (_, o) =>
+            if (o.dict.v.get("Type").contains(PName("Page"))) pageObjs += o
+          }
+      }
+
+      val pages = pageObjs.toVector.map { page =>
+        // Gather content bytes (single ref or array of refs).
+        val content: Array[Byte] = page.dict.v.get("Contents") match {
+          case Some(PRef(n)) => objs.get(n).flatMap(o => decodedStream(o, objs)).getOrElse(Array.emptyByteArray)
+          case Some(PArr(refs)) =>
+            refs.flatMap {
+              case PRef(n) => objs.get(n).flatMap(o => decodedStream(o, objs))
+              case _ => None
+            }.foldLeft(Array.emptyByteArray)((a, b) => a ++ ("\n".getBytes) ++ b)
+          case _ => Array.emptyByteArray
+        }
+        // XObject resources: name → (isImage, alt).
+        val xobjects: Map[String, (Boolean, String)] = {
+          val res = deref(page.dict.v.getOrElse("Resources", PNull))
+          res match {
+            case PDict(rv) =>
+              deref(rv.getOrElse("XObject", PNull)) match {
+                case PDict(xv) =>
+                  xv.flatMap { case (name, v) =>
+                    derefFull(v).map { o =>
+                      val isImage = o.dict.v.get("Subtype").contains(PName("Image"))
+                      val alt = o.dict.v.get("Alt") match {
+                        case Some(PStr(a)) => a
+                        case _ => ""
+                      }
+                      name -> (isImage, alt)
+                    }
+                  }
+                case _ => Map.empty[String, (Boolean, String)]
+              }
+            case _ => Map.empty[String, (Boolean, String)]
+          }
+        }
+        DocPage(parseContent(content, xobjects))
+      }
+      Right(ParsedDoc(pages))
+    } catch {
+      case e: Exception => Left(s"PDF parse error: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+  }
+
+  // ---- Object scan -----------------------------------------------------
+
+  /** Scan `N G obj … endobj` spans without trusting the xref table. */
+  private def scanObjects(s: String): Map[Int, PObj] = {
+    val out = HashMap[Int, PObj]()
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val objIdx = s.indexOf(" obj", i)
+      if (objIdx < 0) { i = n }
+      else {
+        // Backtrack over "N G" before " obj".
+        var j = objIdx
+        var k = j - 1
+        def skipDigitsBack(p0: Int): Int = { var p = p0; while (p >= 0 && s.charAt(p).isDigit) p -= 1; p }
+        val genEnd = k
+        val genStart = skipDigitsBack(genEnd)
+        if (genEnd > genStart && genStart >= 1 && s.charAt(genStart) == ' ') {
+          val numEnd = genStart - 1
+          val numStart = skipDigitsBack(numEnd)
+          if (numEnd > numStart) {
+            val objNum = s.substring(numStart + 1, numEnd + 1).toInt
+            var p = objIdx + 4
+            // Parse the object's value (usually a dict).
+            val (value, after) = parseValueAt(s, skipWs(s, p)).getOrElse((PNull, p))
+            p = after
+            // Stream?
+            val sp = skipWs(s, p)
+            var stream: Option[Array[Byte]] = None
+            var endPos = sp
+            if (s.startsWith("stream", sp)) {
+              var dataStart = sp + 6
+              if (dataStart < n && s.charAt(dataStart) == '\r') dataStart += 1
+              if (dataStart < n && s.charAt(dataStart) == '\n') dataStart += 1
+              val dict = value match { case d: PDict => d; case _ => PDict(Map.empty) }
+              val lenOpt = dict.v.get("Length") match {
+                case Some(PNum(l)) => Some(l.toInt)
+                case _ => None // indirect /Length → fall back to endstream scan
+              }
+              val dataEnd = lenOpt match {
+                case Some(l) if dataStart + l <= n &&
+                    s.indexOf("endstream", dataStart + l) >= 0 => dataStart + l
+                case _ =>
+                  val e = s.indexOf("endstream", dataStart)
+                  if (e < 0) n else trimStreamEnd(s, dataStart, e)
+              }
+              stream = Some(
+                s.substring(dataStart, math.min(dataEnd, n))
+                  .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+              endPos = s.indexOf("endstream", dataEnd) match {
+                case -1 => n
+                case e => e + 9
+              }
+            }
+            val endObj = s.indexOf("endobj", endPos)
+            value match {
+              case d: PDict => out(objNum) = PObj(d, stream)
+              case _ => out(objNum) = PObj(PDict(Map.empty), stream)
+            }
+            i = if (endObj < 0) endPos + 1 else endObj + 6
+          } else i = objIdx + 4
+        } else i = objIdx + 4
+      }
+    }
+    out.toMap
+  }
+
+  private def trimStreamEnd(s: String, start: Int, endstream: Int): Int = {
+    var e = endstream
+    if (e > start && s.charAt(e - 1) == '\n') e -= 1
+    if (e > start && s.charAt(e - 1) == '\r') e -= 1
+    e
+  }
+
+  private def skipWs(s: String, p0: Int): Int = {
+    var p = p0
+    while (p < s.length && (s.charAt(p) == ' ' || s.charAt(p) == '\n' ||
+           s.charAt(p) == '\r' || s.charAt(p) == '\t' || s.charAt(p) == '\f' ||
+           s.charAt(p) == 0)) p += 1
+    // Comments.
+    if (p < s.length && s.charAt(p) == '%') {
+      val nl = s.indexOf('\n', p)
+      skipWs(s, if (nl < 0) s.length else nl + 1)
+    } else p
+  }
+
+  /** Parse one PDF value at position p; returns (value, positionAfter). */
+  def parseValueAt(s: String, p0: Int): Option[(PVal, Int)] = {
+    val p = skipWs(s, p0)
+    if (p < 0 || p >= s.length) return None
+    s.charAt(p) match {
+      case '<' if p + 1 < s.length && s.charAt(p + 1) == '<' =>
+        var q = p + 2
+        val entries = Map.newBuilder[String, PVal]
+        var done = false
+        while (!done) {
+          val qq = skipWs(s, q)
+          if (qq + 1 < s.length && s.charAt(qq) == '>' && s.charAt(qq + 1) == '>') {
+            q = qq + 2; done = true
+          } else if (qq < s.length && s.charAt(qq) == '/') {
+            val (PName(key), afterKey) = parseName(s, qq)
+            parseValueAt(s, afterKey) match {
+              case Some((v, after)) => entries += (key -> v); q = after
+              case None => done = true; q = s.length
+            }
+          } else { done = true; q = qq } // malformed — stop
+        }
+        Some((PDict(entries.result()), q))
+      case '<' =>
+        // Hex string.
+        val end = s.indexOf('>', p + 1)
+        if (end < 0) None
+        else {
+          val hex = s.substring(p + 1, end).filterNot(c => c == ' ' || c == '\n' || c == '\r' || c == '\t')
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          val sb = new java.lang.StringBuilder(padded.length / 2)
+          var i = 0
+          while (i + 2 <= padded.length) {
+            try sb.append(Integer.parseInt(padded.substring(i, i + 2), 16).toChar)
+            catch { case _: NumberFormatException => }
+            i += 2
+          }
+          Some((PStr(sb.toString), end + 1))
+        }
+      case '[' =>
+        var q = p + 1
+        val items = Vector.newBuilder[PVal]
+        var done = false
+        while (!done) {
+          val qq = skipWs(s, q)
+          if (qq >= s.length) { done = true; q = qq }
+          else if (s.charAt(qq) == ']') { q = qq + 1; done = true }
+          else parseValueAt(s, qq) match {
+            case Some((v, after)) => items += v; q = after
+            case None => done = true; q = qq + 1
+          }
+        }
+        Some((PArr(items.result()), q))
+      case '/' => Some(parseName(s, p))
+      case '(' => parseLiteralString(s, p)
+      case c if c.isDigit || c == '-' || c == '+' || c == '.' =>
+        // Number, or "N G R" reference.
+        var q = p
+        while (q < s.length && (s.charAt(q).isDigit || s.charAt(q) == '-' ||
+               s.charAt(q) == '+' || s.charAt(q) == '.')) q += 1
+        val numStr = s.substring(p, q)
+        // Lookahead for reference syntax.
+        val q1 = skipWs(s, q)
+        if (q1 < s.length && s.charAt(q1).isDigit && !numStr.contains('.')) {
+          var q2 = q1
+          while (q2 < s.length && s.charAt(q2).isDigit) q2 += 1
+          val q3 = skipWs(s, q2)
+          if (q3 < s.length && s.charAt(q3) == 'R' &&
+              (q3 + 1 >= s.length || !isRegular(s.charAt(q3 + 1)))) {
+            return Some((PRef(numStr.toInt), q3 + 1))
+          }
+        }
+        Some((PNum(numStr.toDouble), q))
+      case 't' if s.startsWith("true", p) => Some((PBool(true), p + 4))
+      case 'f' if s.startsWith("false", p) => Some((PBool(false), p + 5))
+      case 'n' if s.startsWith("null", p) => Some((PNull, p + 4))
+      case _ => None
+    }
+  }
+
+  private def isRegular(c: Char): Boolean =
+    !(c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' ||
+      c == '/' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '(' || c == ')' || c == '%')
+
+  private def parseName(s: String, p: Int): (PName, Int) = {
+    var q = p + 1
+    val sb = new java.lang.StringBuilder()
+    while (q < s.length && isRegular(s.charAt(q))) {
+      if (s.charAt(q) == '#' && q + 2 < s.length) {
+        try { sb.append(Integer.parseInt(s.substring(q + 1, q + 3), 16).toChar); q += 3 }
+        catch { case _: Exception => sb.append(s.charAt(q)); q += 1 }
+      } else { sb.append(s.charAt(q)); q += 1 }
+    }
+    (PName(sb.toString), q)
+  }
+
+  def parseLiteralString(s: String, p: Int): Option[(PStr, Int)] = {
+    var q = p + 1
+    var depth = 1
+    val sb = new java.lang.StringBuilder()
+    while (q < s.length && depth > 0) {
+      val c = s.charAt(q)
+      c match {
+        case '\\' if q + 1 < s.length =>
+          val e = s.charAt(q + 1)
+          e match {
+            case 'n' => sb.append('\n'); q += 2
+            case 'r' => sb.append('\r'); q += 2
+            case 't' => sb.append('\t'); q += 2
+            case 'b' => sb.append('\b'); q += 2
+            case 'f' => sb.append('\f'); q += 2
+            case '(' => sb.append('('); q += 2
+            case ')' => sb.append(')'); q += 2
+            case '\\' => sb.append('\\'); q += 2
+            case '\n' => q += 2 // line continuation
+            case '\r' => q += (if (q + 2 < s.length && s.charAt(q + 2) == '\n') 3 else 2)
+            case d if d >= '0' && d <= '7' =>
+              var oct = 0; var k = q + 1; var cnt = 0
+              while (k < s.length && cnt < 3 && s.charAt(k) >= '0' && s.charAt(k) <= '7') {
+                oct = oct * 8 + (s.charAt(k) - '0'); k += 1; cnt += 1
+              }
+              sb.append((oct & 0xff).toChar); q = k
+            case other => sb.append(other); q += 2
+          }
+        case '(' => depth += 1; sb.append('('); q += 1
+        case ')' =>
+          depth -= 1
+          if (depth > 0) sb.append(')')
+          q += 1
+        case other => sb.append(other); q += 1
+      }
+    }
+    Some((PStr(sb.toString), q))
+  }
+
+  // ---- Streams ----------------------------------------------------------
+
+  private def decodedStream(obj: PObj, objs: Map[Int, PObj]): Option[Array[Byte]] =
+    obj.stream.map { raw =>
+      obj.dict.v.get("Filter") match {
+        case Some(PName("FlateDecode")) => inflate(raw)
+        case Some(PArr(fs)) if fs.contains(PName("FlateDecode")) => inflate(raw)
+        case _ => raw
+      }
+    }
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      val maxIters = 1 << 20
+      var guard = 0
+      while (!inf.finished() && guard < maxIters) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) guard = maxIters // truncated
+        else out.write(buf, 0, n)
+        guard += 1
+      }
+    } catch { case _: Exception => /* partial output is fine */ }
+    finally inf.end()
+    out.toByteArray
+  }
+
+  // ---- Content stream → blocks ------------------------------------------
+
+  /** Tokenize + interpret a content stream into typed blocks: each BT..ET
+    * group with text is one text block; each `Do` of an image XObject is
+    * one image block carrying its `/Alt` description.
+    */
+  def parseContent(content: Array[Byte], xobjects: Map[String, (Boolean, String)]): Vector[Block] = {
+    val s = new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = ArrayBuffer[Block]()
+    val operands = ArrayBuffer[PVal]()
+    var inText = false
+    val lines = ArrayBuffer[String]()
+    val curLine = new java.lang.StringBuilder()
+
+    def newLine(): Unit = {
+      lines += curLine.toString
+      curLine.setLength(0)
+    }
+    def endBlock(): Unit = {
+      if (curLine.length > 0) newLine()
+      val text = lines.filterNot(_.isEmpty).mkString("\n")
+      if (text.nonEmpty) out += Block.text(text, tag = "pdf")
+      lines.clear(); curLine.setLength(0)
+    }
+
+    var p = 0
+    val n = s.length
+    while (p < n) {
+      val c = s.charAt(p)
+      if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0) p += 1
+      else if (c == '%') { val nl = s.indexOf('\n', p); p = if (nl < 0) n else nl + 1 }
+      else if (c == '(' || c == '<' || c == '[' || c == '/' ||
+               c.isDigit || c == '-' || c == '+' || c == '.') {
+        parseValueAt(s, p) match {
+          case Some((v, after)) if after > p => operands += v; p = after
+          case _ => p += 1
+        }
+      } else {
+        // Operator token.
+        var q = p
+        while (q < n && !(s.charAt(q) == ' ' || s.charAt(q) == '\n' ||
+               s.charAt(q) == '\r' || s.charAt(q) == '\t' || s.charAt(q) == '\f' ||
+               s.charAt(q) == '/' || s.charAt(q) == '(' || s.charAt(q) == '<' ||
+               s.charAt(q) == '[')) q += 1
+        val op = s.substring(p, q)
+        op match {
+          case "BT" => inText = true; lines.clear(); curLine.setLength(0)
+          case "ET" => if (inText) endBlock(); inText = false
+          case "Tj" =>
+            operands.lastOption.foreach { case PStr(t) => curLine.append(t); case _ => }
+          case "'" =>
+            newLine()
+            operands.lastOption.foreach { case PStr(t) => curLine.append(t); case _ => }
+          case "\"" =>
+            newLine()
+            operands.lastOption.foreach { case PStr(t) => curLine.append(t); case _ => }
+          case "TJ" =>
+            operands.lastOption.foreach {
+              case PArr(items) => items.foreach {
+                case PStr(t) => curLine.append(t)
+                case _ => // kerning numbers — ignored
+              }
+              case _ =>
+            }
+          case "Td" | "TD" | "T*" =>
+            if (inText && curLine.length > 0) newLine()
+          case "Do" =>
+            operands.lastOption.foreach {
+              case PName(name) =>
+                xobjects.get(name).foreach { case (isImage, alt) =>
+                  if (isImage) out += Block.image(alt, tag = "pdfimg")
+                }
+              case _ =>
+            }
+          case _ => // Tf, Tm, cm, q, Q, re, f, W, gs, ... — no text effect
+        }
+        operands.clear()
+        p = if (q > p) q else p + 1
+      }
+    }
+    if (inText) endBlock()
+    out.toVector
+  }
+}

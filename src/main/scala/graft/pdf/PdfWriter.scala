@@ -1,0 +1,141 @@
+package graft.pdf
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.Deflater
+
+/** Deterministic minimal PDF writer for fixtures and the synthetic page
+  * table. Mirrors the reference's fixture philosophy — PDFs are
+  * synthesized programmatically, never committed as binaries
+  * (reference: tests/conftest.py:85-214, CLAUDE.md:145). The writer and
+  * `PdfParser` co-evolve and define the supported subset (SURVEY.md
+  * §7.5 risk 2): one xref table, Type1 font, FlateDecode'd content
+  * streams, 1x1 grayscale image XObjects carrying `/Alt` description
+  * text (the deterministic OCR target).
+  */
+object PdfWriter {
+
+  /** One page spec: text blocks (each becomes one BT..ET group) and
+    * images (alt text).
+    */
+  final case class PageSpec(textBlocks: Seq[String] = Nil, imageAlts: Seq[String] = Nil)
+
+  def escapeString(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 8)
+    s.foreach {
+      case '\\' => sb.append("\\\\")
+      case '(' => sb.append("\\(")
+      case ')' => sb.append("\\)")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c > 0xff => sb.append('?') // outside Latin-1 — writer subset
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def latin1(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+
+  /** Build a complete PDF from page specs. */
+  def build(pages: Seq[PageSpec], compress: Boolean = true): Array[Byte] = {
+    // Object numbering: 1 catalog, 2 pages-tree, 3 font, then per page:
+    // page obj, contents obj, image objs.
+    val objs = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var nextObj = 4
+    val pageObjNums = scala.collection.mutable.ArrayBuffer[Int]()
+
+    val pageBodies = pages.map { spec =>
+      val pageNum = nextObj; nextObj += 1
+      val contentsNum = nextObj; nextObj += 1
+      val imageNums = spec.imageAlts.map { _ => val n = nextObj; nextObj += 1; n }
+      pageObjNums += pageNum
+      (pageNum, contentsNum, imageNums, spec)
+    }
+
+    pageBodies.foreach { case (pageNum, contentsNum, imageNums, spec) =>
+      // Content stream: one BT..ET per text block, one Do per image.
+      val sb = new java.lang.StringBuilder()
+      var y = 720
+      spec.textBlocks.foreach { t =>
+        sb.append("BT\n/F1 12 Tf\n72 ").append(y).append(" Td\n")
+        val lines = t.split("\n", -1)
+        var first = true
+        lines.foreach { line =>
+          if (!first) sb.append("0 -14 Td\n")
+          sb.append('(').append(escapeString(line)).append(") Tj\n")
+          first = false
+        }
+        sb.append("ET\n")
+        y -= 20 * lines.length
+      }
+      imageNums.zipWithIndex.foreach { case (_, i) =>
+        sb.append("q\n100 0 0 100 72 ").append(300 - i * 110).append(" cm\n/Im")
+          .append(i + 1).append(" Do\nQ\n")
+      }
+      val raw = latin1(sb.toString)
+      val (data, filter) =
+        if (compress) (deflate(raw), " /Filter /FlateDecode") else (raw, "")
+      val contents = new ByteArrayOutputStream()
+      contents.write(latin1(s"<< /Length ${data.length}$filter >>\nstream\n"))
+      contents.write(data)
+      contents.write(latin1("\nendstream"))
+      objs += ((contentsNum, contents.toByteArray))
+
+      val xobjEntries = imageNums.zipWithIndex
+        .map { case (num, i) => s"/Im${i + 1} $num 0 R" }.mkString(" ")
+      val xobj = if (imageNums.nonEmpty) s" /XObject << $xobjEntries >>" else ""
+      objs += ((pageNum, latin1(
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents $contentsNum 0 R >>")))
+
+      imageNums.zip(spec.imageAlts).foreach { case (num, alt) =>
+        val img = new ByteArrayOutputStream()
+        img.write(latin1(
+          s"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+          s"/Alt (${escapeString(alt)}) /Length 1 >>\nstream\n"))
+        img.write(0)
+        img.write(latin1("\nendstream"))
+        objs += ((num, img.toByteArray))
+      }
+    }
+
+    objs += ((1, latin1("<< /Type /Catalog /Pages 2 0 R >>")))
+    objs += ((2, latin1(
+      s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] " +
+      s"/Count ${pageObjNums.length} >>")))
+    objs += ((3, latin1(
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>")))
+
+    // Serialize with a valid xref table.
+    val out = new ByteArrayOutputStream(4096)
+    out.write(latin1("%PDF-1.4\n"))
+    val offsets = new Array[Long](nextObj)
+    objs.sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size().toLong
+      out.write(latin1(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(latin1("\nendobj\n"))
+    }
+    val xrefPos = out.size()
+    out.write(latin1(s"xref\n0 $nextObj\n"))
+    out.write(latin1("0000000000 65535 f \n"))
+    (1 until nextObj).foreach { n =>
+      out.write(latin1(f"${offsets(n)}%010d 00000 n \n"))
+    }
+    out.write(latin1(
+      s"trailer\n<< /Size $nextObj /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+    out.toByteArray
+  }
+}

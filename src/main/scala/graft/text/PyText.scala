@@ -1,0 +1,88 @@
+package graft.text
+
+/** Python string-semantics helpers.
+  *
+  * The reference composes its golden text with Python `str.split()`,
+  * `str.strip()` and `"\n\n".join(...)` (reference:
+  * src/text_extraction/processor.py:127-129, backends/base.py:33-36).
+  * Python's no-arg `split`/`strip` use Python's `str.isspace()` definition
+  * of whitespace, which differs from both Java's `Character.isWhitespace`
+  * (Python includes U+00A0 NBSP; Java does not) and Java's `\s` regex
+  * class. Byte-identical output per url (the per-row invariant) requires
+  * reproducing Python's classification exactly, centralised here.
+  */
+object PyText {
+
+  /** Python `str.isspace()` for a single code point: true for Unicode
+    * categories Zs/Zl/Zp plus the bidirectional-WS/B/S controls
+    * (\t \n \v \f \r \x1c \x1d \x1e \x1f \x85).
+    */
+  def isPySpace(cp: Int): Boolean = {
+    if (cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r' ||
+        cp == 0x1c || cp == 0x1d || cp == 0x1e || cp == 0x1f || cp == 0x85)
+      return true
+    val t = Character.getType(cp)
+    t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
+    t == Character.PARAGRAPH_SEPARATOR
+  }
+
+  /** Python `str.split()` (no args): split on runs of whitespace, drop
+    * empty tokens (leading/trailing whitespace produces nothing).
+    */
+  def pySplit(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isPySpace(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
+      if (i < n) {
+        val start = i
+        while (i < n && !isPySpace(s.codePointAt(i))) i += Character.charCount(s.codePointAt(i))
+        out += s.substring(start, i)
+      }
+    }
+    out.result()
+  }
+
+  /** Python `len(s.split())` — the reference's word count
+    * (processor.py:129, backends/base.py:36).
+    */
+  def wordCount(s: String): Int = {
+    var count = 0
+    var i = 0
+    val n = s.length
+    var inTok = false
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (isPySpace(cp)) inTok = false
+      else if (!inTok) { inTok = true; count += 1 }
+      i += Character.charCount(cp)
+    }
+    count
+  }
+
+  /** Python `str.strip()` (no args). */
+  def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isPySpace(s.codePointAt(a))) a += Character.charCount(s.codePointAt(a))
+    while (b > a) {
+      val cp = s.codePointBefore(b)
+      if (!isPySpace(cp)) return s.substring(a, b)
+      b -= Character.charCount(cp)
+    }
+    s.substring(a, b)
+  }
+
+  /** The reference's emptiness gate `if not text.strip()` (processor.py:305). */
+  def isBlank(s: String): Boolean = {
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      if (!isPySpace(cp)) return false
+      i += Character.charCount(cp)
+    }
+    true
+  }
+}

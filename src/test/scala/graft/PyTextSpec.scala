@@ -1,0 +1,62 @@
+package graft
+
+import graft.text.PyText
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Python string-semantics parity (SURVEY.md §7.5 risk 1). */
+class PyTextSpec extends AnyFunSuite {
+
+  test("pySplit matches Python str.split() on whitespace runs") {
+    assert(PyText.pySplit("  hello   world \n") == Vector("hello", "world"))
+    assert(PyText.pySplit("") == Vector())
+    assert(PyText.pySplit("   ") == Vector())
+    assert(PyText.pySplit("one") == Vector("one"))
+    assert(PyText.pySplit("a\tb\nc\rd\fe") == Vector("a", "b", "c", "d", "e"))
+  }
+
+  test("NBSP (U+00A0) is Python whitespace (unlike Java's \\s)") {
+    assert(PyText.pySplit("a b") == Vector("a", "b"))
+    assert(PyText.pyStrip(" x ") == "x")
+    assert(PyText.wordCount("a b") == 2)
+  }
+
+  test("unicode separators split (U+2003 em space, U+2028, U+0085)") {
+    assert(PyText.pySplit("a b cd") == Vector("a", "b", "c", "d"))
+  }
+
+  test("zero-width space U+200B is NOT Python whitespace") {
+    assert(PyText.pySplit("a​b") == Vector("a​b"))
+    assert(PyText.wordCount("a​b") == 1)
+  }
+
+  test("file/group/record/unit separators \\x1c-\\x1f split like Python") {
+    assert(PyText.pySplit("abcde") ==
+      Vector("a", "b", "c", "d", "e"))
+  }
+
+  test("pyStrip strips both ends only") {
+    assert(PyText.pyStrip(" \t a b \n ") == "a b")
+    assert(PyText.pyStrip("") == "")
+    assert(PyText.pyStrip(" \n\t ") == "")
+  }
+
+  test("isBlank mirrors `not text.strip()`") {
+    assert(PyText.isBlank(""))
+    assert(PyText.isBlank(" \n \t"))
+    assert(!PyText.isBlank(" . "))
+  }
+
+  test("property: wordCount == pySplit length; tokens have no whitespace") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab XY\t\n  .,ß€​\r\f"
+    (1 to 500).foreach { _ =>
+      val s = Vector.fill(rnd.nextInt(40))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val toks = PyText.pySplit(s)
+      assert(PyText.wordCount(s) == toks.length, s"for ${s.map(_.toInt)}")
+      toks.foreach(t => assert(t.nonEmpty && !t.exists(c => PyText.isPySpace(c.toInt))))
+      // strip is idempotent and blank-consistent
+      assert(PyText.pyStrip(PyText.pyStrip(s)) == PyText.pyStrip(s))
+      assert(PyText.isBlank(s) == PyText.pyStrip(s).isEmpty)
+    }
+  }
+}
