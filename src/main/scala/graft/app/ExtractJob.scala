@@ -1,0 +1,177 @@
+package graft.app
+
+import graft.extract.Processor
+import graft.jobs.{Checkpoint, LineageRow}
+import graft.model.{Enums, Page}
+import graft.synth.PageGen
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction pipeline as a spark-submit batch job (SURVEY.md §3.1's
+  * Spark lifecycle + §4.4 physical plan of record):
+  *
+  *   scan(pages, pushed filters) → project → [map-only] ExtractKernel
+  *     → write results partitionBy(bucket) → append lineage rows
+  *
+  * Scale design decisions (10^12-row design point):
+  *  - **No payload shuffle.** Extraction is embarrassingly parallel; the
+  *    html payload column dominates bytes, so the job is map-only — the
+  *    scan's input splits are the parallelism. An optional
+  *    `--repartition N` exists for pathological file layouts only.
+  *  - **Explicit bucket partitioning** for lineage/resume: bucket =
+  *    pmod(xxhash64(url), B). xxhash64 spreads Zipfian hosts uniformly,
+  *    so bucket sizes are balanced regardless of host skew; skew in
+  *    per-row work is handled by input-split granularity + AQE.
+  *  - **Idempotent resume** (north rule): results are written with
+  *    dynamic partition overwrite per bucket; a bucket's lineage row is
+  *    appended only after its results are durable. On restart, completed
+  *    buckets are skipped (driver-side isin filter — never a join/shuffle
+  *    since B is small); incomplete buckets are rewritten atomically.
+  *    Waves (`--wave-size`) bound how much work one commit covers.
+  *
+  * Usage:
+  *   ExtractJob (--rows N [--seed S] | --input path) --out DIR
+  *     [--checkpoint DIR] [--run-id ID] [--quality q] [--lang xx]
+  *     [--buckets B] [--wave-size W] [--repartition N]
+  */
+object ExtractJob {
+
+  final case class Args(
+      rows: Long = 0L,
+      seed: Long = 42L,
+      input: String = "",
+      out: String = "",
+      checkpoint: String = "",
+      runId: String = "run-default",
+      quality: String = "balanced",
+      lang: String = "",
+      buckets: Int = 64,
+      waveSize: Int = 0, // 0 → all remaining buckets in one wave
+      repartition: Int = 0)
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--rows" => a = a.copy(rows = argv(i + 1).toLong); i += 2
+        case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
+        case "--input" => a = a.copy(input = argv(i + 1)); i += 2
+        case "--out" => a = a.copy(out = argv(i + 1)); i += 2
+        case "--checkpoint" => a = a.copy(checkpoint = argv(i + 1)); i += 2
+        case "--run-id" => a = a.copy(runId = argv(i + 1)); i += 2
+        case "--quality" => a = a.copy(quality = argv(i + 1)); i += 2
+        case "--lang" => a = a.copy(lang = argv(i + 1)); i += 2
+        case "--buckets" => a = a.copy(buckets = argv(i + 1).toInt); i += 2
+        case "--wave-size" => a = a.copy(waveSize = argv(i + 1).toInt); i += 2
+        case "--repartition" => a = a.copy(repartition = argv(i + 1).toInt); i += 2
+        case other => throw new IllegalArgumentException(s"unknown arg: $other")
+      }
+    }
+    require(a.out.nonEmpty, "--out is required")
+    require(a.rows > 0 || a.input.nonEmpty, "--rows or --input is required")
+    a
+  }
+
+  /** API-boundary quality gate (reference service/main.py:390-394 regex;
+    * router.py:134-136 normalization): invalid → balanced.
+    */
+  def normalizeQuality(q: String): String =
+    if (Enums.Qualities.contains(q)) q else Enums.Balanced
+
+  def bucketExpr(buckets: Int): Column = pmod(xxhash64(col("url")), lit(buckets)).cast("int")
+
+  /** The extraction kernel stage: opaque to Catalyst, so all pruning/
+    * filtering must happen before this call (SURVEY.md §4.2 obligation 1).
+    */
+  def extractKernel(pages: Dataset[Page], quality: String): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // Per-partition processor instance = the reference's lazy backend
+    // singletons (service/main.py:50-55) — built once per task, O(1)
+    // memory per row.
+    pages.mapPartitions { it =>
+      val proc = Processor.default
+      it.map(p => proc.extract(p, quality))
+    }.toDF()
+  }
+
+  def loadPages(spark: SparkSession, a: Args): Dataset[Page] = {
+    import spark.implicits._
+    val df =
+      if (a.input.nonEmpty) spark.read.parquet(a.input)
+      else PageGen.generate(spark, a.rows, a.seed).toDF()
+    // Pushed-down predicates + projection BEFORE the opaque kernel.
+    val filtered = if (a.lang.nonEmpty) df.where(col("lang") === a.lang) else df
+    filtered.select("url", "warc_ts", "html", "text", "lang").as[Page]
+  }
+
+  /** Run the job; returns per-wave lineage rows (also appended to the
+    * checkpoint table when one is configured).
+    */
+  def run(spark: SparkSession, a0: Args): Seq[LineageRow] = {
+    val a = a0.copy(quality = normalizeQuality(a0.quality))
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val pages = loadPages(spark, a)
+    val done = if (a.checkpoint.nonEmpty)
+      Checkpoint.completedBuckets(spark, a.checkpoint, a.runId) else Set.empty[Int]
+    val remaining = (0 until a.buckets).filterNot(done)
+    if (remaining.isEmpty) return Nil
+
+    val waveSize = if (a.waveSize <= 0) remaining.size else a.waveSize
+    val waves = remaining.grouped(waveSize).toVector
+    val allRows = Vector.newBuilder[LineageRow]
+
+    waves.foreach { wave =>
+      val waveSet = wave.toSet
+      val sub0 = pages.where(
+        if (waveSet.size == a.buckets) lit(true)
+        else bucketExpr(a.buckets).isin(wave.map(Integer.valueOf): _*))
+      val sub = if (a.repartition > 0) sub0.repartition(a.repartition) else sub0
+      import spark.implicits._
+
+      val recs = extractKernel(sub.as[Page], a.quality)
+        .withColumn("bucket", bucketExpr(a.buckets))
+
+      recs.write
+        .mode(SaveMode.Overwrite) // dynamic: only this wave's buckets
+        .partitionBy("bucket")
+        .parquet(a.out)
+
+      // Lineage metrics from the durably-written data (exact, columnar).
+      val metrics = spark.read.parquet(a.out)
+        .where(col("bucket").isin(wave.map(Integer.valueOf): _*))
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(when(col("success"), 1L).otherwise(0L)).as("ok_docs"),
+          sum(when(col("success"), 0L).otherwise(1L)).as("error_docs"),
+          sum(col("word_count").cast("long")).as("words"))
+        .collect()
+      val now = new java.sql.Timestamp(System.currentTimeMillis())
+      val written = metrics.map { r =>
+        LineageRow(a.runId, r.getInt(0), "completed", r.getLong(1),
+          r.getLong(2), r.getLong(3), r.getLong(4), a.quality, now)
+      }.toVector
+      // Buckets with zero rows still count as completed.
+      val zero = wave.filterNot(written.map(_.bucket).toSet).map(b =>
+        LineageRow(a.runId, b, "completed", 0L, 0L, 0L, 0L, a.quality, now))
+      val rows = written ++ zero
+      if (a.checkpoint.nonEmpty) Checkpoint.append(spark, a.checkpoint, rows)
+      allRows ++= rows
+    }
+    allRows.result()
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkUtil.session("graft-extract")
+    val t0 = System.nanoTime()
+    val rows = run(spark, a)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val docs = rows.map(_.docs).sum
+    println(f"""{"job":"extract","run_id":"${a.runId}","docs":$docs,"buckets_done":${rows.length},"sec":$secs%.3f,"docs_per_sec":${docs / math.max(secs, 1e-9)}%.1f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,30 @@
+package graft.app
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the scale-relevant defaults applied in one place
+  * (SURVEY.md §4.2): AQE with skew handling + partition coalescing, UTC
+  * session time, shuffle partitions sized to the local core count
+  * (cluster deployments override via spark-submit conf).
+  */
+object SparkUtil {
+  def session(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val b = SparkSession.builder()
+      .appName(appName)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+    // Respect an existing master (spark-submit); default to local[cpus].
+    val withMaster =
+      if (sys.props.contains("spark.master") || sys.env.contains("SPARK_MASTER"))
+        b
+      else b.master(s"local[$cpus]")
+    val spark = withMaster.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

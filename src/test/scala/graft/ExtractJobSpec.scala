@@ -1,0 +1,135 @@
+package graft
+
+import graft.app.ExtractJob
+import graft.app.ExtractJob.Args
+import graft.extract.Processor
+import graft.jobs.Checkpoint
+import graft.synth.PageGen
+import org.apache.spark.sql.functions._
+
+/** Pipeline-level specs: generator determinism, end-to-end extraction,
+  * idempotent checkpoint resume (north rule), parallelism invariance.
+  */
+class ExtractJobSpec extends SparkSuite {
+
+  private val N = 400L
+
+  test("PageGen is a pure function of (seed, id): partitioning-invariant") {
+    import spark.implicits._
+    val a = PageGen.generate(spark, N).repartition(7)
+      .map(p => (p.url, java.util.Arrays.hashCode(p.html), p.lang, p.warc_ts.getTime))
+      .collect().sortBy(_._1)
+    val b = PageGen.generate(spark, N).repartition(2)
+      .map(p => (p.url, java.util.Arrays.hashCode(p.html), p.lang, p.warc_ts.getTime))
+      .collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == N)
+  }
+
+  test("host distribution is skewed (Zipfian) but buckets stay balanced") {
+    import spark.implicits._
+    val pages = PageGen.generate(spark, 2000L)
+    val hostCounts = pages.map(p => new java.net.URI(p.url).getHost)
+      .groupByKey(identity).count().collect().map(_._2)
+    assert(hostCounts.max >= 20 * hostCounts.min || hostCounts.min == 1,
+      s"expected skew, got max=${hostCounts.max} min=${hostCounts.min}")
+    val bucketCounts = pages.toDF().select(ExtractJob.bucketExpr(16).as("bucket"))
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(bucketCounts.max.toDouble / bucketCounts.min < 2.0,
+      s"buckets unbalanced: ${bucketCounts.mkString(",")}")
+  }
+
+  test("end-to-end job: all rows extracted, error rows isolated, output matches kernel") {
+    val out = tmpDir("xjob-out")
+    val rows = ExtractJob.run(spark, Args(rows = N, out = out, buckets = 8))
+    assert(rows.map(_.docs).sum == N)
+    assert(rows.forall(_.status == "completed"))
+
+    val res = spark.read.parquet(out)
+    assert(res.count() == N)
+    // Corrupted family rows become error records; everything else succeeds.
+    val failed = res.where(!col("success")).select("url").collect().map(_.getString(0))
+    assert(failed.forall(_.contains("/corrupted/")))
+    assert(res.where(col("success")).count() == N - failed.length)
+
+    // Byte-identical text per url vs a direct kernel call (per-row invariant).
+    val sample = res.where(col("success"))
+      .select("url", "text", "word_count").orderBy("url").limit(30).collect()
+    sample.foreach { r =>
+      val url = r.getString(0)
+      val id = url.substring(url.lastIndexOf("/p") + 2, url.length - 5).toLong
+      val rec = Processor.default.extract(PageGen.row(42L, id), "balanced")
+      assert(rec.text == r.getString(1), s"text mismatch for $url")
+      assert(rec.word_count == r.getInt(2))
+    }
+  }
+
+  test("lang filter is pushed before the kernel and respected") {
+    val out = tmpDir("xjob-lang")
+    ExtractJob.run(spark, Args(rows = N, out = out, buckets = 4, lang = "de"))
+    val res = spark.read.parquet(out)
+    assert(res.count() > 0)
+    assert(res.where(col("lang") =!= "de").count() == 0)
+  }
+
+  test("invalid quality normalizes to balanced at the job boundary") {
+    val out = tmpDir("xjob-q")
+    val rows = ExtractJob.run(spark, Args(rows = 50, out = out, buckets = 2, quality = "turbo"))
+    assert(rows.forall(_.quality == "balanced"))
+  }
+
+  test("idempotent resume: killed-midway rerun produces identical results table") {
+    val outFull = tmpDir("xjob-full")
+    val outResume = tmpDir("xjob-resume")
+    val ckpt = tmpDir("xjob-ckpt") + "/lineage"
+
+    // Reference run: everything in one go.
+    ExtractJob.run(spark, Args(rows = N, out = outFull, buckets = 8))
+
+    // Interrupted run: first wave of 3 buckets completes + checkpoints...
+    val a = Args(rows = N, out = outResume, checkpoint = ckpt, runId = "r1", buckets = 8, waveSize = 3)
+    val firstWave = ExtractJob.run(spark, a.copy(waveSize = 3)) // full run in waves
+    assert(firstWave.map(_.bucket).toSet == (0 until 8).toSet)
+
+    // ...simulate a crash after wave 1: drop lineage for buckets >2 and
+    // corrupt their result partitions (partial files).
+    val keep = spark.read.parquet(ckpt).where(col("bucket") < 3)
+    val ckpt2 = tmpDir("xjob-ckpt2") + "/lineage"
+    keep.write.parquet(ckpt2)
+    (3 until 8).foreach { b =>
+      val dir = new java.io.File(s"$outResume/bucket=$b")
+      if (dir.exists()) {
+        // Truncate: delete half the files to simulate a torn write.
+        dir.listFiles().zipWithIndex.foreach { case (f, i) => if (i % 2 == 0) f.delete() }
+      }
+    }
+
+    // Resume with the surviving checkpoint: buckets 0-2 must be skipped,
+    // 3-7 rewritten atomically.
+    val resumed = ExtractJob.run(spark, a.copy(checkpoint = ckpt2))
+    assert(resumed.map(_.bucket).toSet == (3 until 8).toSet)
+
+    val full = spark.read.parquet(outFull)
+      .select("url", "text", "word_count", "pdf_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    val res = spark.read.parquet(outResume)
+      .select("url", "text", "word_count", "pdf_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).sortBy(_._1)
+    assert(res.length == N)
+    assert(full.toSeq == res.toSeq)
+
+    // Re-running with complete checkpoint is a no-op.
+    val noop = ExtractJob.run(spark, a.copy(checkpoint = ckpt2))
+    assert(noop.isEmpty)
+  }
+
+  test("same job at local parallelism 1 vs 4 yields identical output (scaling correctness)") {
+    import spark.implicits._
+    val pages = PageGen.generate(spark, 120L)
+    val one = ExtractJob.extractKernel(pages.repartition(1), "balanced")
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    val four = ExtractJob.extractKernel(pages.repartition(4), "balanced")
+      .select("url", "text").as[(String, String)].collect().sortBy(_._1)
+    assert(one.toSeq == four.toSeq)
+  }
+}
