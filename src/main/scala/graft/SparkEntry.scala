@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.Processor
+import graft.queries.{PipelineOps, Relational, TextOps, VectorOps}
+import graft.synth.PageGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the full operator surface; names with a DuckDB oracle in
+  * `oracleSql` are hash-compared by the driver at sf0.01, the rest
+  * (extraction-kernel queries — deterministic but not SQL-expressible)
+  * get rows-only checks and are pinned byte-exactly by the golden-file
+  * specs under src/test.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Relational.defs ++ TextOps.defs ++ VectorOps.defs ++ PipelineOps.defs
+
+  /** Flagship: the extraction pipeline end-to-end on a small
+    * deterministic page table (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    PageGen.generate(spark, 300).mapPartitions { it =>
+      val proc = Processor.default
+      it.map(p => proc.extract(p, "balanced"))
+    }.select("url", "pdf_type", "word_count", "extraction_method", "success")
+      .where(col("success"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (n, f, _) => n -> f }.toMap
+
+  def oracleSql: Map[String, String] =
+    all.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.extract.Processor
+import graft.json.JsonRepair
+import graft.model.Page
+import graft.synth.PageGen
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The extraction pipeline itself, exposed as driver-checkable queries.
+  * These run the from-scratch kernels (HTML tokenizer → boilerplate
+  * strip; PDF text-layer parse; routing + fallback cascade) over the
+  * deterministic synthetic page table (BASELINE.json input_hint — no
+  * external data). Results are fully deterministic but not
+  * SQL-expressible, so no DuckDB oracle → the driver records rows-only
+  * checks; byte-exact semantics are pinned by the golden-file specs
+  * under src/test (sbt -batch test).
+  */
+object PipelineOps {
+
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  /** Deterministic page table; independent of sfDir by design. */
+  private def pages(s: SparkSession, n: Long): Dataset[Page] = PageGen.generate(s, n)
+
+  /** One binary "multimodal" record: treat payload as opaque bytes with
+    * a stubbed decode (deterministic fake dims — the real image/audio
+    * decoder is environment-dependent and out of sandbox scope; the
+    * Spark-side plumbing — binary column, per-partition kernel, typed
+    * output schema — is real).
+    */
+  final case class MediaMeta(
+      url: String, n_bytes: Long, magic: String, media_kind: String,
+      width: Int, height: Int, frames: Int)
+
+  def decodeStub(url: String, payload: Array[Byte]): MediaMeta = {
+    val n = if (payload == null) 0 else payload.length
+    val magic =
+      if (n >= 5 && new String(payload, 0, 5, java.nio.charset.StandardCharsets.ISO_8859_1) == "%PDF-") "pdf"
+      else if (n > 0 && (payload(0) == '<' || payload(0) == ' ')) "html"
+      else "bin"
+    // Deterministic fake decode: dimensions derived from content hash.
+    val h = java.util.Arrays.hashCode(payload)
+    MediaMeta(url, n.toLong, magic,
+      media_kind = if (magic == "bin") "image" else "document",
+      width = math.floorMod(h, 640) + 1,
+      height = math.floorMod(h >> 8, 480) + 1,
+      frames = 1)
+  }
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Full extraction: classify → route → extract → compose, one
+    // kernel pass, map-only (§4.4 plan of record).
+    ("x40_extract_balanced",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 1200).mapPartitions { it =>
+          val proc = Processor.default
+          it.map(p => proc.extract(p, "balanced"))
+        }.select("url", "pdf_type", "total_pages", "word_count",
+            "extraction_method", "confidence", "success")
+          .orderBy("url")
+      }, None),
+
+    // ---- Classification-only slice (§3.3): per-type corpus histogram.
+    ("x41_classify_stats",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 2000).mapPartitions { it =>
+          val proc = Processor.default
+          it.map(p => proc.extract(p, "fast")) // fast → never OCR: pure classify+direct
+        }.groupBy("pdf_type")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg("confidence"), 6).as("avg_confidence"),
+               sum(col("word_count").cast("long")).as("total_words"))
+          .orderBy("pdf_type")
+      }, None),
+
+    // ---- Byte-exact extracted text (the per-row invariant surface:
+    // url → composed text with page markers).
+    ("x42_extract_text",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 300).mapPartitions { it =>
+          val proc = Processor.default
+          it.map(p => proc.extract(p, "accurate"))
+        }.select("url", "text", "word_count").orderBy("url")
+      }, None),
+
+    // ---- Exact dedup over *extracted* text: PageGen plants ~6%
+    // duplicate clusters; dedup runs on kernel output, not raw payloads.
+    ("x43_dedup_extracted",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 2000).mapPartitions { it =>
+          val proc = Processor.default
+          it.map(p => proc.extract(p, "balanced"))
+        }.where(col("success") && length(col("text")) > 0)
+          .withColumn("digest", md5(col("text")))
+          .groupBy("digest")
+          .agg(count(lit(1)).as("n_docs"), min("url").as("canonical_url"))
+          .where(col("n_docs") > 1)
+          .orderBy("digest")
+      }, None),
+
+    // ---- JSON repair cascade (F7-F11) over deterministically-broken
+    // documents derived from events.props.
+    ("x44_json_repair",
+      (s, d) => {
+        import s.implicits._
+        val broken = QueryUtil.tbl(s, d, "events")
+          .select(col("event_id"), col("props"))
+          .as[(Long, String)]
+          .map { case (id, props) =>
+            // Deterministic corruption by id class: trailing comma /
+            // missing comma between members / unbroken.
+            val j = id % 3 match {
+              case 0 => props.stripSuffix("}") + ",}"
+              case 1 => props.stripSuffix("}") + " \"x\": 1}"
+              case _ => props
+            }
+            (id, j)
+          }.toDF("event_id", "payload")
+        val repaired = broken.as[(Long, String)].map { case (id, j) =>
+          val (ok, wasRepaired) = JsonRepair.repairStatus(j)
+          (id, ok, wasRepaired)
+        }.toDF("event_id", "ok", "was_repaired")
+        repaired.groupBy("ok", "was_repaired")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("ok", "was_repaired")
+      }, None),
+
+    // ---- Multimodal binary kernel: opaque payload bytes → typed
+    // metadata via per-partition stub decoder.
+    ("x46_multimodal_kernel",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 1000)
+          .select(col("url"), col("html")).as[(String, Array[Byte])]
+          .mapPartitions(_.map { case (u, b) => decodeStub(u, b) })
+          .groupBy("magic", "media_kind")
+          .agg(count(lit(1)).as("n"),
+               sum("n_bytes").as("total_bytes"),
+               min("width").as("min_w"), max("height").as("max_h"))
+          .orderBy("magic", "media_kind")
+      }, None)
+  )
+}

@@ -1,0 +1,49 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver-checked query surface (SparkEntry).
+  *
+  * Cross-engine parity rules (Spark result is hash-compared against a
+  * DuckDB oracle by the driver):
+  *  - every aggregate / computed column is aliased identically on both
+  *    sides;
+  *  - floating-point aggregates are rounded (sums 2dp, ratios 6dp) so
+  *    accumulation-order ulp differences can't flip the hash;
+  *  - counts/sums of integers are cast to BIGINT on the DuckDB side
+  *    (DuckDB widens integer sums to HUGEINT, Spark keeps LongType);
+  *  - every query ends in a total ORDER BY on both sides;
+  *  - timestamps are formatted to strings before output.
+  */
+object QueryUtil {
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Lower-cased whitespace-run tokens — the byte-exact analog of the
+    * reference's Python `str.split()` word model (processor.py:129) as a
+    * codegen'd column expression; DuckDB side:
+    * `regexp_extract_all(lower(text), '\S+')`.
+    */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("\\S+"), lit(0))
+
+  /** Distinct word 3-gram shingles over `tokens`; `< 3` tokens → empty.
+    * DuckDB side uses `list_transform(range(1, greatest(len-1,1)), ...)`
+    * (1-based, exclusive end) which yields the same `n-2` shingles.
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Jaccard similarity of two distinct-element arrays (reference
+    * tests/conftest.py:352-362 word-set Jaccard, generalized to shingle
+    * sets). Single IEEE division of two exact ints — bit-identical across
+    * engines.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+}

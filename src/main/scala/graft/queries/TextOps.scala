@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Training-data pipeline operators over the `documents` table: token
+  * statistics, quality scoring, language ID, exact + near dedup
+  * (3-gram-shingle Jaccard brute force, MinHash+LSH scale path, SimHash
+  * fingerprints), and a multimodal-metadata pass over the payload bytes.
+  *
+  * All hashing is md5-hex (identical across Spark and the DuckDB oracle);
+  * everything is built from codegen'd higher-order functions — no UDFs in
+  * any hot path, so whole-stage codegen spans the full pipeline up to the
+  * shuffle.
+  *
+  * Scale notes (100 TB design point):
+  *  - brute-force pair queries (q23/q31) are the correctness baseline;
+  *    the shipped scale paths are q24 (MinHash banding: candidates only
+  *    where a band collides — shuffle is O(docs·bands), join keys are
+  *    128-bit band signatures, so bucket sizes stay tiny) and LSH
+  *    bucketing for vectors (VectorOps).
+  *  - token/shingle expansion happens inside one narrow stage; the only
+  *    shuffles are the final group-bys/joins on compact keys.
+  */
+object TextOps {
+
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  private def docToks(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents").withColumn("toks", tokens(col("text")))
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Token counting (A4 word-count semantics, Python-split parity).
+    ("q20_doc_tokens",
+      (s, d) => docToks(s, d)
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          size(array_distinct(col("toks"))).as("n_uniq"),
+          length(col("text")).as("n_chars_len"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\S+')) AS INT) AS n_toks,
+             CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS INT) AS n_uniq,
+             CAST(length(text) AS INT) AS n_chars_len
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- Corpus token stats per language.
+    ("q21_token_stats",
+      (s, d) => docToks(s, d)
+        .groupBy("lang")
+        .agg(sum(size(col("toks")).cast("long")).as("total_tokens"),
+             round(avg(size(col("toks"))), 4).as("avg_tokens"),
+             count(lit(1)).as("n_docs"))
+        .orderBy("lang"),
+      Some("""SELECT lang,
+             CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS total_tokens,
+             round(avg(len(regexp_extract_all(lower(text), '\S+'))),4) AS avg_tokens,
+             CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Exact dedup: hash-groupBy on normalized text (whitespace-run
+    // collapse + lowercase), canonical = min doc_id. At scale: one
+    // shuffle on the 128-bit digest — the cheapest possible dedup.
+    ("q22_dedup_exact",
+      (s, d) => tbl(s, d, "documents")
+        .withColumn("digest", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .groupBy("digest")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_docs"))
+        .orderBy("digest"),
+      Some("""SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS digest,
+             CAST(min(doc_id) AS BIGINT) AS canonical_id,
+             CAST(count(*) AS BIGINT) AS n_docs
+             FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Near-dup, brute-force 3-gram-shingle Jaccard (correctness
+    // baseline; O(n²) — the scale path is q24).
+    ("q23_neardup_jaccard",
+      (s, d) => {
+        val sh = docToks(s, d)
+          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+        val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+        val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+        a.join(b, col("doc_a") < col("doc_b"))
+          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.shingles,b.shingles)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(a.shingles,b.shingles))) AS DOUBLE) AS j
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b, round(j,6) AS jaccard FROM p
+             WHERE j >= 0.5 ORDER BY doc_a, doc_b""")),
+
+    // ---- MinHash + LSH banding: 16 md5-minhashes over shingles, 4 bands
+    // × 4 rows; candidate pairs share a full band signature. This is the
+    // dedup operator that survives 100 TB: no all-pairs join, only a
+    // group-by on band signatures whose buckets are near-dup clusters.
+    ("q24_minhash_lsh",
+      (s, d) => {
+        val sh = docToks(s, d)
+          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+          .where(size(col("shingles")) > 0)
+        val sig = sh.withColumn("sigs",
+          transform(sequence(lit(0), lit(15)),
+            j => array_min(transform(col("shingles"),
+              t => md5(concat(j.cast("string"), lit(":"), t))))))
+        val bands = sig.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band_id"),
+            col("sigs"))
+          .withColumn("band_sig", concat_ws(",", slice(col("sigs"), col("band_id") * 4 + 1, lit(4))))
+          .select("doc_id", "band_id", "band_sig")
+        val a = bands.withColumnRenamed("doc_id", "doc_a")
+        val b = bands.withColumnRenamed("doc_id", "doc_b")
+        a.join(b, Seq("band_id", "band_sig"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             shl AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+             tok AS (SELECT doc_id, unnest(shingles) AS tok FROM shl WHERE len(shingles) > 0),
+             mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || tok)) AS minh
+                    FROM tok CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+                    GROUP BY doc_id, s.seed),
+             band AS (SELECT doc_id, seed // 4 AS band_id,
+                        string_agg(minh, ',' ORDER BY seed) AS band_sig
+                      FROM mh GROUP BY doc_id, seed // 4)
+             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+               AND a.doc_id < b.doc_id
+             ORDER BY doc_a, doc_b""")),
+
+    // ---- SimHash document fingerprint: 32-bit signature from md5
+    // hex-digit parity of distinct tokens. Near-constant cost per doc;
+    // Hamming-ball lookup is the at-scale near-dup join key.
+    ("q25_simhash",
+      (s, d) => docToks(s, d)
+        .withColumn("utoks", array_distinct(col("toks")))
+        .withColumn("simhash",
+          concat_ws("", transform(sequence(lit(1), lit(32)),
+            j => when(aggregate(col("utoks"), lit(0),
+                (acc, t) => acc + (ascii(substring(md5(t), j, lit(1))) % 2 * 2 - 1)) > 0,
+              lit("1")).otherwise(lit("0")))))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id"),
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS tok
+                           FROM documents),
+             bits AS (SELECT doc_id, j.j,
+                        CASE WHEN sum(CASE WHEN ascii(substr(md5(tok), j.j, 1)) % 2 = 1
+                                           THEN 1 ELSE -1 END) > 0
+                             THEN '1' ELSE '0' END AS bit
+                      FROM tok CROSS JOIN (SELECT unnest(range(1,33)) AS j) j
+                      GROUP BY doc_id, j.j)
+             SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+             FROM bits GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- Language ID: stopword-hit scoring with a fixed argmax order
+    // (n-gram-heuristic family; deterministic on both engines).
+    ("q26_lang_id",
+      (s, d) => {
+        def hits(pat: String) =
+          size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        tbl(s, d, "documents")
+          .withColumn("s_en", hits("\\b(the|and|of|to|a)\\b"))
+          .withColumn("s_de", hits("\\b(der|die|und|das|ist)\\b"))
+          .withColumn("s_fr", hits("\\b(le|la|et|les|des)\\b"))
+          .withColumn("s_es", hits("\\b(el|los|las|una|es)\\b"))
+          .withColumn("predicted",
+            when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+                 col("s_en") >= col("s_es") && col("s_en") > 0, "en")
+              .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es") &&
+                    col("s_de") > 0, "de")
+              .when(col("s_fr") >= col("s_es") && col("s_fr") > 0, "fr")
+              .when(col("s_es") > 0, "es")
+              .otherwise("unknown"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "predicted")
+      },
+      Some("""WITH s AS (SELECT doc_id, lang,
+               len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS s_en,
+               len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS s_de,
+               len(regexp_extract_all(lower(text), '\b(le|la|et|les|des)\b')) AS s_fr,
+               len(regexp_extract_all(lower(text), '\b(el|los|las|una|es)\b')) AS s_es
+             FROM documents)
+             SELECT lang, CASE
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'unknown' END AS predicted,
+             CAST(count(*) AS BIGINT) AS n
+             FROM s GROUP BY 1,2 ORDER BY 1,2""")),
+
+    // ---- Quality scoring: uniqueness ratio + length saturation →
+    // bucket (reference quality-level analog for corpus filtering).
+    ("q27_quality_score",
+      (s, d) => docToks(s, d)
+        .withColumn("n_toks", size(col("toks")))
+        .withColumn("uniq_ratio",
+          size(array_distinct(col("toks"))).cast("double") / col("n_toks").cast("double"))
+        .withColumn("score",
+          round(lit(0.4) * col("uniq_ratio") +
+                lit(0.6) * least(col("n_toks").cast("double") / lit(100.0), lit(1.0)), 6))
+        .withColumn("bucket",
+          when(col("score") >= 0.6, "high").when(col("score") >= 0.4, "mid").otherwise("low"))
+        .select(col("doc_id"), col("n_toks"), round(col("uniq_ratio"), 6).as("uniq_ratio"),
+          col("score"), col("bucket"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             q AS (SELECT doc_id, len(toks) AS n_toks,
+                     CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio
+                   FROM t),
+             sc AS (SELECT doc_id, n_toks, uniq_ratio,
+                      round(0.4 * uniq_ratio + 0.6 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0), 6) AS score
+                    FROM q)
+             SELECT doc_id, CAST(n_toks AS INT) AS n_toks, round(uniq_ratio,6) AS uniq_ratio, score,
+               CASE WHEN score >= 0.6 THEN 'high' WHEN score >= 0.4 THEN 'mid' ELSE 'low' END AS bucket
+             FROM sc ORDER BY doc_id""")),
+
+    // ---- Multimodal metadata pass: payload treated as opaque bytes →
+    // (byte length, content digest, stub-decoded dimensions). The real
+    // binary kernel lives in PipelineOps.x46; this is its SQL-checkable
+    // projection.
+    ("q28_multimodal_meta",
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(col("text")).as("digest"),
+          (octet_length(col("text")) % 640 + 1).as("width"),
+          (floor(octet_length(col("text")) / lit(7)).cast("int") % 480 + 1).as("height"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+             md5(text) AS digest,
+             CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+             CAST((octet_length(encode(text)) // 7) % 480 + 1 AS INT) AS height
+             FROM documents ORDER BY doc_id"""))
+  )
+}

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Similarity search over the `embeddings` table (`embedding:
+  * array<float>`, dim 64). Dot products / norms run as codegen'd
+  * higher-order functions (`zip_with` + `aggregate`) in DOUBLE precision
+  * — matching the oracle's math and keeping everything inside
+  * whole-stage codegen; no UDFs.
+  *
+  * Scale shape:
+  *  - q29 broadcast-joins the tiny query set against the full corpus —
+  *    the classic brute-force ANN baseline: one scan, no corpus shuffle,
+  *    per-partition top-k via window (at true scale: `mapPartitions`
+  *    heap + final merge; the window form is Catalyst-visible and
+  *    equivalent here).
+  *  - q31 is the all-pairs verifier (correctness baseline, O(n²)); the
+  *    at-scale path is LSH bucketing (q30): 8 deterministic md5-derived
+  *    hyperplanes → 8-bit bucket key → pairs only within a bucket.
+  */
+object VectorOps {
+
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  /** embedding cast to array<double> — all math in double on both
+    * engines.
+    */
+  private def emb(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  private def dot(a: String, b: String) =
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: String) =
+    sqrt(aggregate(col(a), lit(0.0), (acc, x) => acc + x * x))
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Brute-force cosine top-k: 10 query vectors × full corpus.
+    ("q29_cosine_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = emb(s, d)
+        val q = e.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"))
+        val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+        val scored = n.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", dot("qv", "nv") / (norm("qv") * norm("nv")))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                           generate_subscripts(embedding,1) AS i FROM embeddings),
+             p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                     sum(q.v*n.v) AS dot, sqrt(sum(q.v*q.v)) AS nq, sqrt(sum(n.v*n.v)) AS nn
+                   FROM e q JOIN e n ON q.i = n.i
+                   WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id
+                   GROUP BY 1,2),
+             rk AS (SELECT query_id, neighbor_id,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY dot/(nq*nn) DESC, neighbor_id) AS rank
+                    FROM p)
+             SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 5
+             ORDER BY query_id, rank""")),
+
+    // ---- LSH bucketing: sign of dot(v, hyperplane_b) for 8 md5-derived
+    // deterministic hyperplanes → bucket key; bucket histogram. This is
+    // the candidate-generation stage of ANN at scale (pairs only within
+    // buckets — no all-pairs join).
+    ("q30_lsh_buckets",
+      (s, d) => {
+        val planes = lit(8)
+        emb(s, d)
+          .withColumn("bucket",
+            concat_ws("", transform(sequence(lit(0), planes - 1),
+              b => when(aggregate(zip_with(col("v"),
+                  sequence(lit(0), size(col("v")) - 1),
+                  (x, i) => x * ((ascii(substring(
+                    md5(concat(b.cast("string"), lit(":"), i.cast("string"))), 1, 1))
+                    % 16).cast("double") - 7.5)),
+                lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0")))))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+          .orderBy("bucket")
+      },
+      Some("""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                           generate_subscripts(embedding,1) - 1 AS i FROM embeddings),
+             s AS (SELECT vec_id, b.b,
+                     sum(v * (CAST(ascii(substr(md5(b.b || ':' || i), 1, 1)) % 16 AS DOUBLE) - 7.5)) AS proj
+                   FROM e CROSS JOIN (SELECT unnest(range(8)) AS b) b
+                   GROUP BY vec_id, b.b),
+             k AS (SELECT vec_id, string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS bucket
+                   FROM s GROUP BY vec_id)
+             SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(vec_id) AS BIGINT) AS min_vec_id
+             FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // ---- All-pairs cosine near-dup (embedding near-duplicate detection
+    // baseline; ids only — rank order is FP-stable, raw scores are not).
+    ("q31_embedding_neardup",
+      (s, d) => {
+        val e = emb(s, d)
+        val a = e.select(col("vec_id").as("vid_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("vid_b"), col("v").as("vb"))
+        a.join(b, col("vid_a") < col("vid_b"))
+          .withColumn("cos", dot("va", "vb") / (norm("va") * norm("vb")))
+          .where(col("cos") >= 0.4)
+          .select("vid_a", "vid_b")
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                           generate_subscripts(embedding,1) AS i FROM embeddings),
+             p AS (SELECT q.vec_id AS vid_a, n.vec_id AS vid_b,
+                     sum(q.v*n.v)/(sqrt(sum(q.v*q.v))*sqrt(sum(n.v*n.v))) AS c
+                   FROM e q JOIN e n ON q.i = n.i AND q.vec_id < n.vec_id
+                   GROUP BY 1,2)
+             SELECT vid_a, vid_b FROM p WHERE c >= 0.4 ORDER BY vid_a, vid_b"""))
+  )
+}
