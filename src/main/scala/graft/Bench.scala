@@ -1,24 +1,192 @@
 package graft
+
+import graft.app.ExtractJob
+import graft.extract.Processor
+import graft.model.Page
+import graft.synth.PageGen
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-round benchmark main. Emits ONE JSON line:
+  *   {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…,
+  *    "extraction":{…}}
+  *
+  * Three parts:
+  *  1. Kernel scaling (the north rule's two-cluster-size criterion,
+  *     evidenced in-sandbox): the SAME pre-generated pages table is
+  *     extracted (scan → kernel → aggregate sink) under local[N] and
+  *     local[4N]; reported docs/sec at both plus
+  *     efficiency = (thr_4N / thr_N) / 4.
+  *  2. End-to-end job scaling: the full ExtractJob (scan → kernel →
+  *     bucket-clustered write → lineage) at both parallelism levels.
+  *  3. The full SparkEntry query suite timed individually with a noop
+  *     sink (forces complete evaluation, excludes write-format cost).
+  *
+  * Inputs are written with 64 files so both parallelism levels get
+  * balanced splits.
+  */
 object Bench {
+
+  private def session(cpus: Int): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def ensurePages(rows: Long): String = {
+    val path = s"/tmp/graft_bench/pages_${rows}_42.parquet"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+      PageGen.generate(s, rows).repartition(64)
+        .write.mode("overwrite").parquet(path)
+      s.stop()
+    }
+    path
+  }
+
+  private def warmup(s: SparkSession, path: String): Unit = {
+    import s.implicits._
+    s.read.parquet(path).limit(2000).as[Page]
+      .mapPartitions { it =>
+        val proc = Processor.default
+        it.map(p => proc.extract(p, "balanced"))
+      }.agg(count(lit(1))).collect()
+  }
+
+  /** scan → kernel → aggregate sink (pure extraction throughput). */
+  private def kernelSecs(s: SparkSession, path: String): Double = {
+    import s.implicits._
+    val t0 = System.nanoTime()
+    s.read.parquet(path).as[Page]
+      .mapPartitions { it =>
+        val proc = Processor.default
+        it.map(p => proc.extract(p, "balanced"))
+      }
+      .agg(count(lit(1)), sum(col("word_count").cast("long")))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Full job: scan → kernel → bucket-clustered write → lineage. */
+  private def jobSecs(s: SparkSession, path: String, outDir: String): Double = {
+    val out = new java.io.File(outDir)
+    if (out.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(out).deleteRecursively()
+    }
+    val t0 = System.nanoTime()
+    ExtractJob.run(s, ExtractJob.Args(input = path, out = outDir, buckets = 64))
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** All `reps` measurements per parallelism level, interleaved
+    * (lo,hi,lo,hi,…) so noisy-neighbor host drift hits both levels
+    * equally. The sandbox host's CPU supply fluctuates ±30-50% between
+    * identical runs, so single measurements are untrustworthy; callers
+    * report best-of throughput and the MEDIAN of per-rep-pair
+    * efficiencies (each pair runs back-to-back under near-identical
+    * host conditions).
+    */
+  private def atParallelism(ks: Seq[Int], reps: Int, label: String)(
+      f: SparkSession => Double): Map[Int, Vector[Double]] = {
+    val all = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { r =>
+      // Alternate order every rep so monotone host drift biases neither
+      // level within a pair.
+      val order = if (r % 2 == 1) ks else ks.reverse
+      order.foreach { k =>
+        val s = session(k)
+        try {
+          val secs = f(s)
+          System.err.println(f"[bench] $label local[$k] rep$r: $secs%.3f s")
+          all(k) = all(k) :+ secs
+        } finally s.stop()
+      }
+    }
+    all.toMap
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
+  /** Median over per-rep pairs of (thr_hi/thr_lo)/(hi/lo). */
+  private def pairEfficiency(lo: Seq[Double], hi: Seq[Double], ratio: Double): Double =
+    median(lo.zip(hi).map { case (l, h) => (l / h) / ratio })
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val kernelRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+    val jobRows = sys.env.getOrElse("SPARK_GRAFT_JOB_ROWS", "4000000").toLong
+    val loN = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "4").toInt
+    val hiN = loN * 4
+
+    val kernelPath = ensurePages(kernelRows)
+    val jobPath = ensurePages(jobRows)
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val kernelAll =
+      if (sys.env.get("SPARK_GRAFT_SKIP_KERNEL").contains("1"))
+        Map(loN -> Vector(1.0), hiN -> Vector(1.0))
+      else atParallelism(Seq(loN, hiN), reps, "kernel") { s =>
+        warmup(s, kernelPath); kernelSecs(s, kernelPath)
+      }
+    val kernel = kernelAll.view.mapValues(_.min).toMap
+    val kernelEff = pairEfficiency(kernelAll(loN), kernelAll(hiN), hiN.toDouble / loN)
+
+    val jobAll = atParallelism(Seq(loN, hiN), reps, "job") { s =>
+      // Job output defaults to disk; point SPARK_GRAFT_JOB_OUT at
+      // /dev/shm to factor out the sandbox's single-disk write cap
+      // (cluster storage bandwidth scales with executors).
+      val outDir = sys.env.getOrElse("SPARK_GRAFT_JOB_OUT", "/tmp/graft_bench") + "/job_out"
+      warmup(s, jobPath); jobSecs(s, jobPath, outDir)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val job = jobAll.view.mapValues(_.min).toMap
+    val jobEff = pairEfficiency(jobAll(loN), jobAll(hiN), hiN.toDouble / loN)
+    def repsJson(m: Map[Int, Vector[Double]], k: Int) =
+      m(k).map(v => f"$v%.3f").mkString("[", ",", "]")
+
+    // ---- Query suite at the driver-given parallelism
+    // (SPARK_GRAFT_SKIP_SUITE=1 skips it for scaling-only experiments).
+    val queryTimes =
+      if (sys.env.get("SPARK_GRAFT_SKIP_SUITE").contains("1")) Seq.empty
+      else {
+        val s = session(cpus)
+        val times = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try fn(s, sfDir).write.mode("overwrite").format("noop").save()
+          catch { case _: Throwable => }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
+        s.stop()
+        times
+      }
+
+    val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    val total = queryTimes.map(_._2).sum
+    def thr(rows: Long, secs: Double) = rows / secs
+    println(
+      f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{""" +
+      f""""kernel_rows":$kernelRows,"kernel_local${loN}_secs":${kernel(loN)}%.3f,"kernel_local${loN}_docs_per_sec":${thr(kernelRows, kernel(loN))}%.1f,""" +
+      f""""kernel_local${hiN}_secs":${kernel(hiN)}%.3f,"kernel_local${hiN}_docs_per_sec":${thr(kernelRows, kernel(hiN))}%.1f,"kernel_scaling_efficiency":$kernelEff%.3f,""" +
+      f""""kernel_reps_local$loN":${repsJson(kernelAll, loN)},"kernel_reps_local$hiN":${repsJson(kernelAll, hiN)},""" +
+      f""""job_rows":$jobRows,"job_local${loN}_secs":${job(loN)}%.3f,"job_local${loN}_docs_per_sec":${thr(jobRows, job(loN))}%.1f,""" +
+      f""""job_local${hiN}_secs":${job(hiN)}%.3f,"job_local${hiN}_docs_per_sec":${thr(jobRows, job(hiN))}%.1f,"job_scaling_efficiency":$jobEff%.3f,""" +
+      f""""job_reps_local$loN":${repsJson(jobAll, loN)},"job_reps_local$hiN":${repsJson(jobAll, hiN)}}}""")
   }
 }

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design decisions (10^12-row design point):
   *  - **No payload shuffle.** Extraction is embarrassingly parallel; the
-  *    html payload column dominates bytes, so the job is map-only — the
-  *    scan's input splits are the parallelism. An optional
-  *    `--repartition N` exists for pathological file layouts only.
+  *    html payload column dominates bytes, so the kernel stage is map-only
+  *    — the scan's input splits are the parallelism. The only exchange is
+  *    of compact post-kernel records, clustering output files by bucket
+  *    (disable with `--no-write-shuffle`). An optional `--repartition N`
+  *    exists for pathological input layouts only.
   *  - **Explicit bucket partitioning** for lineage/resume: bucket =
   *    pmod(xxhash64(url), B). xxhash64 spreads Zipfian hosts uniformly,
   *    so bucket sizes are balanced regardless of host skew; skew in
@@ -47,7 +49,8 @@ object ExtractJob {
       lang: String = "",
       buckets: Int = 64,
       waveSize: Int = 0, // 0 → all remaining buckets in one wave
-      repartition: Int = 0)
+      repartition: Int = 0,
+      writeShuffle: Boolean = true)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -65,6 +68,7 @@ object ExtractJob {
         case "--buckets" => a = a.copy(buckets = argv(i + 1).toInt); i += 2
         case "--wave-size" => a = a.copy(waveSize = argv(i + 1).toInt); i += 2
         case "--repartition" => a = a.copy(repartition = argv(i + 1).toInt); i += 2
+        case "--no-write-shuffle" => a = a.copy(writeShuffle = false); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -131,8 +135,14 @@ object ExtractJob {
       val sub = if (a.repartition > 0) sub0.repartition(a.repartition) else sub0
       import spark.implicits._
 
-      val recs = extractKernel(sub.as[Page], a.quality)
+      val recs0 = extractKernel(sub.as[Page], a.quality)
         .withColumn("bucket", bucketExpr(a.buckets))
+      // Cluster output files by bucket: one exchange of the COMPACT
+      // post-kernel records (raw html never shuffles — it's dropped by
+      // the kernel). Without this, a partitionBy write from T tasks
+      // produces T×B files — at 10^5 tasks that's millions of tiny
+      // files; with it, file count ≈ B. AQE coalesces the exchange.
+      val recs = if (a.writeShuffle) recs0.repartition(col("bucket")) else recs0
 
       recs.write
         .mode(SaveMode.Overwrite) // dynamic: only this wave's buckets

@@ -131,6 +131,25 @@ object PipelineOps {
           .orderBy("ok", "was_repaired")
       }, None),
 
+    // ---- Winnowed rolling-hash fingerprints (passage-level dup
+    // detection): fingerprints shared across documents = copied runs.
+    // Scale shape: explode → groupBy fingerprint — shuffle carries only
+    // (hash, doc_id) pairs, never text.
+    ("x45_fingerprint",
+      (s, d) => {
+        import s.implicits._
+        val fps = QueryUtil.tbl(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .flatMap { case (id, text) =>
+            graft.text.Fingerprint.winnow(text).map(h => (id, h))
+          }.toDF("doc_id", "fp")
+        fps.groupBy("fp")
+          .agg(countDistinct("doc_id").as("n_docs"), min("doc_id").as("first_doc"))
+          .where(col("n_docs") > 1)
+          .agg(count(lit(1)).as("shared_fingerprints"),
+               sum("n_docs").as("doc_memberships"))
+      }, None),
+
     // ---- Multimodal binary kernel: opaque payload bytes → typed
     // metadata via per-partition stub decoder.
     ("x46_multimodal_kernel",

@@ -46,6 +46,20 @@ object TextOps {
              CAST(length(text) AS INT) AS n_chars_len
              FROM documents ORDER BY doc_id""")),
 
+    // ---- BPE-ish subword counting (GPT-2-style pattern, RE2-safe —
+    // no lookahead — so Spark's Java regex and the oracle's RE2 agree):
+    // contractions | letter runs | single digits | punct runs.
+    ("q19_bpe_tokens",
+      (s, d) => tbl(s, d, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("'(?:[sdmt]|ll|ve|re)|[a-z]+|[0-9]|[^\\sa-z0-9']+"), lit(0))).as("n_bpe"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '''(?:[sdmt]|ll|ve|re)|[a-z]+|[0-9]|[^\sa-z0-9'']+')) AS INT) AS n_bpe
+             FROM documents ORDER BY doc_id""")),
+
     // ---- Corpus token stats per language.
     ("q21_token_stats",
       (s, d) => docToks(s, d)
@@ -80,8 +94,12 @@ object TextOps {
       (s, d) => {
         val sh = docToks(s, d)
           .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+        // Non-equi pair join = BroadcastNestedLoopJoin; the streamed side
+        // must be repartitioned or a small parquet (1 split) serializes
+        // the whole O(n²) compare onto one task.
         val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-        val b = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val b = broadcast(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")))
         a.join(b, col("doc_a") < col("doc_b"))
           .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
           .where(col("jaccard") >= 0.5)
@@ -142,11 +160,13 @@ object TextOps {
     // Hamming-ball lookup is the at-scale near-dup join key.
     ("q25_simhash",
       (s, d) => docToks(s, d)
-        .withColumn("utoks", array_distinct(col("toks")))
+        // md5 once per distinct token; the 32 bit-columns then only read
+        // hex chars (32× fewer hashes than hashing inside the bit loop).
+        .withColumn("hashes", transform(array_distinct(col("toks")), t => md5(t)))
         .withColumn("simhash",
           concat_ws("", transform(sequence(lit(1), lit(32)),
-            j => when(aggregate(col("utoks"), lit(0),
-                (acc, t) => acc + (ascii(substring(md5(t), j, lit(1))) % 2 * 2 - 1)) > 0,
+            j => when(aggregate(col("hashes"), lit(0),
+                (acc, h) => acc + (ascii(substring(h, j, lit(1))) % 2 * 2 - 1)) > 0,
               lit("1")).otherwise(lit("0")))))
         .select("doc_id", "simhash")
         .orderBy("doc_id"),

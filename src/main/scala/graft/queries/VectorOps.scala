@@ -47,6 +47,7 @@ object VectorOps {
         val q = e.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv"))
         val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+          .repartition(s.sparkContext.defaultParallelism)
         val scored = n.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
           .withColumn("cos", dot("qv", "nv") / (norm("qv") * norm("nv")))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -106,8 +107,11 @@ object VectorOps {
     ("q31_embedding_neardup",
       (s, d) => {
         val e = emb(s, d)
+        // Streamed side repartitioned so the O(n²) nested-loop compare
+        // parallelizes (a small parquet is otherwise a single split).
         val a = e.select(col("vec_id").as("vid_a"), col("v").as("va"))
-        val b = e.select(col("vec_id").as("vid_b"), col("v").as("vb"))
+          .repartition(s.sparkContext.defaultParallelism)
+        val b = broadcast(e.select(col("vec_id").as("vid_b"), col("v").as("vb")))
         a.join(b, col("vid_a") < col("vid_b"))
           .withColumn("cos", dot("va", "vb") / (norm("va") * norm("vb")))
           .where(col("cos") >= 0.4)

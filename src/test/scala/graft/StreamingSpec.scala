@@ -1,0 +1,68 @@
+package graft
+
+import graft.streaming.StreamingExtract
+import graft.synth.PageGen
+import org.apache.spark.sql.functions._
+
+/** Structured-Streaming surface: the streaming path must produce results
+  * identical to the batch kernel, resume from its checkpoint without
+  * duplicates, and roll up windowed metrics.
+  */
+class StreamingSpec extends SparkSuite {
+
+  test("availableNow streaming extraction == batch extraction") {
+    import spark.implicits._
+    val in = tmpDir("stream_in")
+    val out = tmpDir("stream_out")
+    val ckpt = tmpDir("stream_ckpt")
+    PageGen.generate(spark, 400).toDF()
+      .repartition(4).write.mode("overwrite").parquet(in)
+
+    val q = StreamingExtract.runAvailableNow(spark, in, out, ckpt)
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(out)
+      .select("url", "text", "word_count").orderBy("url").collect()
+    val batch = {
+      val proc = graft.extract.Processor.default
+      spark.read.parquet(in).as[graft.model.Page]
+        .mapPartitions(it => it.map(p => proc.extract(p, "balanced")))
+        .select("url", "text", "word_count").orderBy("url").collect()
+    }
+    assert(streamed.length == 400)
+    assert(streamed.sameElements(batch))
+  }
+
+  test("checkpoint: second availableNow run with new files processes only them") {
+    import spark.implicits._
+    val in = tmpDir("inc_in")
+    val out = tmpDir("inc_out")
+    val ckpt = tmpDir("inc_ckpt")
+    PageGen.generate(spark, 100).toDF().coalesce(1)
+      .write.mode("overwrite").parquet(in)
+    StreamingExtract.runAvailableNow(spark, in, out, ckpt).awaitTermination()
+    assert(spark.read.parquet(out).count() == 100)
+
+    // Append a second batch of source files (ids 100..199 via seed shift
+    // on urls is unnecessary — new files with distinct urls suffice).
+    PageGen.generate(spark, 200).toDF().where(col("url").contains("p1"))
+      .coalesce(1).write.mode("append").parquet(in)
+    val added = spark.read.parquet(in).count() - 100
+    StreamingExtract.runAvailableNow(spark, in, out, ckpt).awaitTermination()
+    // No reprocessing of the first 100 rows: output grows by exactly the
+    // appended row count.
+    assert(spark.read.parquet(out).count() == 100 + added)
+  }
+
+  test("windowed metrics stream aggregates by event-time window") {
+    val in = tmpDir("met_in")
+    PageGen.generate(spark, 300).toDF()
+      .repartition(2).write.mode("overwrite").parquet(in)
+    StreamingExtract.metricsStream(spark, in, "met_tbl").awaitTermination()
+    val rows = spark.table("met_tbl")
+    assert(rows.agg(sum("n_docs")).collect()(0).getLong(0) == 300L)
+    // Every row has a closed 1-day window and a known pdf_type.
+    val types = rows.select("pdf_type").distinct().collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("pure_text", "pure_image", "hybrid", "unknown")))
+  }
+}
