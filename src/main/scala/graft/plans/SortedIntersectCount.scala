@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.SparkSession
+
+/** `sorted_intersect_count(a, b)` — intersection size of two SORTED,
+  * DISTINCT arrays (both `array<string>` or both `array<bigint>`) via a
+  * linear merge, with whole-stage codegen.
+  *
+  * Why a native Expression (SURVEY.md §2.10 decision revisited): the
+  * brute-force Jaccard verifier compares O(n²) document pairs; built-in
+  * `array_intersect` builds a hash set and materializes an output array
+  * PER PAIR — pure allocation overhead when only the count is needed.
+  * The long variant is the hot path: `getLong` on UnsafeArrayData is a
+  * zero-allocation word read (the string variant still allocates a
+  * UTF8String wrapper per element), so pre-hashing shingles with
+  * xxhash64 makes the per-pair merge branch-and-compare only.
+  * Jaccard over distinct sets follows as c / (|a| + |b| - c).
+  *
+  * Inputs MUST be sorted ascending and duplicate-free
+  * (`array_sort(array_distinct(...))`) — unsorted input silently
+  * undercounts, mirroring the contract of merge joins.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val elemType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => StringType
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) => true
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> or two array<bigint> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0
+    val nx = x.numElements(); val ny = y.numElements()
+    if (elemType == LongType) {
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val body = if (elemType == LongType) {
+        val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+        s"""
+           |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+           |  if ($xv == $yv) { $c++; $i++; $j++; }
+           |  else if ($xv < $yv) $i++;
+           |  else $j++;
+         """.stripMargin
+      } else {
+        val cmp = ctx.freshName("cmp")
+        s"""
+           |  int $cmp = $x.getUTF8String($i).compareTo($y.getUTF8String($j));
+           |  if ($cmp == 0) { $c++; $i++; $j++; }
+           |  else if ($cmp < 0) $i++;
+           |  else $j++;
+         """.stripMargin
+      }
+      s"""
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $x.numElements() && $j < $y.numElements()) {
+         |$body
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
+
+  /** Imperative registration (idempotent) for sessions built without the
+    * extensions config.
+    */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    entries.foreach { case (id, _, builder) =>
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(id.funcName, builder, "built-in")
+    }
+  }
+}
+
+/** `--conf spark.sql.extensions=graft.plans.GraftExtensions` — the
+  * spark-submit-native way to install the engine's functions cluster-wide.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.entries.foreach(e.injectFunction)
+}

@@ -92,16 +92,34 @@ object TextOps {
     // baseline; O(n²) — the scale path is q24).
     ("q23_neardup_jaccard",
       (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        // Shingles hashed to longs (xxhash64, collision odds ~2^-64 at
+        // this cardinality) and sorted ONCE per doc, so the per-pair
+        // intersection is a zero-allocation codegen'd long merge
+        // (graft.plans.SortedIntersectCount) instead of a hash set +
+        // materialized array per pair. The oracle computes the same
+        // Jaccard over the raw string sets — equality of results is
+        // itself the collision check.
         val sh = docToks(s, d)
-          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+          .select(col("doc_id"),
+            array_sort(transform(shingles3(col("toks")), x => xxhash64(x))).as("shingles"))
         // Non-equi pair join = BroadcastNestedLoopJoin; the streamed side
         // must be repartitioned or a small parquet (1 split) serializes
         // the whole O(n²) compare onto one task.
         val a = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
           .repartition(s.sparkContext.defaultParallelism)
         val b = broadcast(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")))
-        a.join(b, col("doc_a") < col("doc_b"))
-          .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        // Length-ratio prefilter: J(A,B) ≥ t implies |A| ≥ t·|B| and
+        // vice versa, so size-incompatible pairs skip the O(|A|+|B|)
+        // merge entirely (cheap int compares run first in the
+        // conjunction).
+        a.join(b, col("doc_a") < col("doc_b") &&
+            size(col("sh_a")) * 2 >= size(col("sh_b")) &&
+            size(col("sh_b")) * 2 >= size(col("sh_a")))
+          .withColumn("c", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+          .withColumn("jaccard",
+            col("c").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("c")).cast("double"))
           .where(col("jaccard") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
           .orderBy("doc_a", "doc_b")
@@ -129,13 +147,18 @@ object TextOps {
           transform(sequence(lit(0), lit(15)),
             j => array_min(transform(col("shingles"),
               t => md5(concat(j.cast("string"), lit(":"), t))))))
+        // Repartition on the join keys BEFORE the self-join: both sides
+        // then share one identical Exchange subtree, which Catalyst's
+        // ReuseExchange dedups — the expensive signature pipeline
+        // (shingle → 16 md5 minhashes) runs ONCE, not twice.
         val bands = sig.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band_id"),
             col("sigs"))
           .withColumn("band_sig", concat_ws(",", slice(col("sigs"), col("band_id") * 4 + 1, lit(4))))
           .select("doc_id", "band_id", "band_sig")
+          .repartition(col("band_id"), col("band_sig"))
         val a = bands.withColumnRenamed("doc_id", "doc_a")
         val b = bands.withColumnRenamed("doc_id", "doc_b")
-        a.join(b, Seq("band_id", "band_sig"))
+        a.hint("shuffle_hash").join(b, Seq("band_id", "band_sig"))
           .where(col("doc_a") < col("doc_b"))
           .select("doc_a", "doc_b").distinct()
           .orderBy("doc_a", "doc_b")
