@@ -71,6 +71,17 @@ object HtmlTokenizer {
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
     (c >= '0' && c <= '9') || c == '-' || c == '_' || c == ':'
 
+  /** Lower-cased name slice; skips the `toLowerCase` allocation when the
+    * slice is already lowercase (the overwhelmingly common case in real
+    * markup — this sits on the per-tag hot path).
+    */
+  private def lowerSlice(s: String, from: Int, until: Int): String = {
+    var k = from
+    while (k < until && !(s.charAt(k) >= 'A' && s.charAt(k) <= 'Z')) k += 1
+    if (k == until) s.substring(from, until)
+    else s.substring(from, until).toLowerCase
+  }
+
   /** Tokenize a whole HTML string. Returns a flat token stream. */
   def tokenize(html: String): Vector[HtmlToken] = {
     val out = new ArrayBuffer[HtmlToken](256)
@@ -109,7 +120,7 @@ object HtmlTokenizer {
           var j = i + 2
           val nameStart = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = lowerSlice(html, nameStart, j)
           val end = html.indexOf('>', j)
           if (name.nonEmpty && end >= 0) { out += EndTag(name); i = end + 1 }
           else if (end >= 0) i = end + 1
@@ -120,7 +131,7 @@ object HtmlTokenizer {
           var j = i + 1
           val nameStart = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
-          val name = html.substring(nameStart, j).toLowerCase
+          val name = lowerSlice(html, nameStart, j)
           // Parse attributes until '>'.
           var attrs = Map.empty[String, String]
           var selfClosing = false
@@ -138,7 +149,7 @@ object HtmlTokenizer {
                 val aStart = j
                 while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                        html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-                val aName = html.substring(aStart, j).toLowerCase
+                val aName = lowerSlice(html, aStart, j)
                 while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
                 if (j < n && html.charAt(j) == '=') {
                   j += 1

@@ -150,6 +150,32 @@ object PipelineOps {
                sum("n_docs").as("doc_memberships"))
       }, None),
 
+    // ---- Skew-safe per-host statistics (SURVEY §7.5 risk 4): PageGen
+    // hosts are Zipfian (host0 ≈ 7% of all rows — a hot key that would
+    // overload one reducer in a naive exact-distinct at 10^12 rows).
+    // Two-phase salted aggregation: phase 1 groups on (host, salt=
+    // pmod(xxhash64(url), 16)) so the hot host spreads over 16 reducers
+    // and distinct-sets stay small; phase 2 merges the 16 partial sets
+    // per host. Algebraic aggs (count/sum) don't need this (map-side
+    // combine already handles skew) — distinct collection does.
+    ("x47_host_stats_salted",
+      (s, _) => {
+        val pg = pages(s, 20000).toDF()
+          .select(
+            regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+            regexp_extract(col("url"), "https://[^/]+/([^/]+)/", 1).as("family"),
+            col("url"))
+        val phase1 = pg
+          .groupBy(col("host"), pmod(xxhash64(col("url")), lit(16)).as("salt"))
+          .agg(collect_set(col("family")).as("fams"), count(lit(1)).as("n"))
+        phase1
+          .groupBy("host")
+          .agg(size(array_distinct(flatten(collect_list(col("fams"))))).as("n_families"),
+               sum("n").as("n_pages"))
+          .orderBy(col("n_pages").desc, col("host"))
+          .limit(20)
+      }, None),
+
     // ---- Multimodal binary kernel: opaque payload bytes → typed
     // metadata via per-partition stub decoder.
     ("x46_multimodal_kernel",

@@ -24,18 +24,23 @@ object VectorOps {
 
   type Q = (String, (SparkSession, String) => DataFrame, Option[String])
 
-  /** embedding cast to array<double> — all math in double on both
+  /** embedding cast to array<double> with its norm precomputed ONCE per
+    * vector — the pair joins below would otherwise recompute both norms
+    * for every one of the O(n²) pairs. All math in double on both
     * engines.
     */
-  private def emb(s: SparkSession, d: String): DataFrame =
+  private def emb(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
     tbl(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(call_function("vector_dot", col("v"), col("v"))))
+  }
 
+  /** Codegen'd indexed dot product (graft.plans.VectorDot) — no zipped
+    * array materialized per pair.
+    */
   private def dot(a: String, b: String) =
-    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: String) =
-    sqrt(aggregate(col(a), lit(0.0), (acc, x) => acc + x * x))
+    call_function("vector_dot", col(a), col(b))
 
   val defs: Seq[Q] = Seq(
 
@@ -45,11 +50,11 @@ object VectorOps {
         import org.apache.spark.sql.expressions.Window
         val e = emb(s, d)
         val q = e.where(col("vec_id") < 10)
-          .select(col("vec_id").as("query_id"), col("v").as("qv"))
-        val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+        val n = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("nrm").as("nn"))
           .repartition(s.sparkContext.defaultParallelism)
         val scored = n.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-          .withColumn("cos", dot("qv", "nv") / (norm("qv") * norm("nv")))
+          .withColumn("cos", dot("qv", "nv") / (col("qn") * col("nn")))
         val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
         scored.withColumn("rank", row_number().over(w).cast("long"))
           .where(col("rank") <= 5)
@@ -109,11 +114,11 @@ object VectorOps {
         val e = emb(s, d)
         // Streamed side repartitioned so the O(n²) nested-loop compare
         // parallelizes (a small parquet is otherwise a single split).
-        val a = e.select(col("vec_id").as("vid_a"), col("v").as("va"))
+        val a = e.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
           .repartition(s.sparkContext.defaultParallelism)
-        val b = broadcast(e.select(col("vec_id").as("vid_b"), col("v").as("vb")))
+        val b = broadcast(e.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")))
         a.join(b, col("vid_a") < col("vid_b"))
-          .withColumn("cos", dot("va", "vb") / (norm("va") * norm("vb")))
+          .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
           .where(col("cos") >= 0.4)
           .select("vid_a", "vid_b")
           .orderBy("vid_a", "vid_b")

@@ -1,0 +1,56 @@
+package graft.tools
+
+import graft.extract.{DocParser, Processor}
+import graft.synth.PageGen
+
+/** No-Spark micro-profile of the extraction kernel: stage-level ns/doc
+  * over the synthetic family mix. Iteration aid for kernel
+  * optimization:
+  *   sbt -batch "runMain graft.tools.KernelProfile [nDocs]"
+  */
+object KernelProfile {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 50000
+    val payloads = (0L until n.toLong).map(id => PageGen.row(42L, id)).toArray
+
+    def time(label: String)(f: => Unit): Unit = {
+      f // warmup
+      val t0 = System.nanoTime()
+      f
+      val perDoc = (System.nanoTime() - t0).toDouble / n
+      println(f"[profile] $label%-22s ${perDoc / 1000}%8.2f µs/doc  (${1e9 / perDoc}%9.0f docs/s/core)")
+    }
+
+    val htmlStrings = payloads.map(p => new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+    time("utf8 decode") {
+      var i = 0
+      while (i < n) { new String(payloads(i).html, java.nio.charset.StandardCharsets.UTF_8); i += 1 }
+    }
+    time("tokenize") {
+      var i = 0; while (i < n) { graft.html.HtmlTokenizer.tokenize(htmlStrings(i)); i += 1 }
+    }
+    time("dom build") {
+      var i = 0; while (i < n) { graft.html.Dom.parse(htmlStrings(i)); i += 1 }
+    }
+    time("segment (full html path)") {
+      var i = 0; while (i < n) { graft.html.BlockSegmenter.parseHtml(htmlStrings(i)); i += 1 }
+    }
+    time("parse (tokenize+DOM)") {
+      var i = 0; while (i < n) { DocParser.parse(payloads(i).html); i += 1 }
+    }
+    val parsed = payloads.map(p => DocParser.parse(p.html))
+    time("classify") {
+      var i = 0
+      while (i < n) {
+        parsed(i).foreach(d => graft.classify.Detector.default.classify(d)); i += 1
+      }
+    }
+    val proc = Processor.default
+    time("extract (full)") {
+      var i = 0; while (i < n) { proc.extract(payloads(i), "balanced"); i += 1 }
+    }
+    time("extract (fast)") {
+      var i = 0; while (i < n) { proc.extract(payloads(i), "fast"); i += 1 }
+    }
+  }
+}

@@ -144,4 +144,20 @@ class QueryOpsSpec extends SparkSuite {
     val m = PipelineOps.decodeStub("u", Array[Byte](1, 2, 3))
     assert(m.magic == "bin" && m.width >= 1 && m.height >= 1)
   }
+
+  test("x47 salted two-phase distinct equals direct aggregation") {
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("x47_host_stats_salted")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val direct = graft.synth.PageGen.generate(spark, 20000).toDF()
+      .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
+        regexp_extract(col("url"), "https://[^/]+/([^/]+)/", 1).as("family"))
+      .groupBy("host")
+      .agg(countDistinct("family").cast("int").as("n_families"), count(lit(1)).as("n_pages"))
+      .orderBy(col("n_pages").desc, col("host")).limit(20).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(salted.sameElements(direct))
+    // Zipf skew really present: top host carries >4% of rows.
+    assert(salted.head._3 > 800, s"expected hot host, got ${salted.head}")
+  }
 }
