@@ -45,11 +45,11 @@ object Bench {
     s
   }
 
-  private def ensurePages(rows: Long): String = {
-    val path = s"/tmp/graft_bench/pages_${rows}_42.parquet"
+  private def ensurePages(rows: Long, paraScale: Int = 1): String = {
+    val path = s"/tmp/graft_bench/pages_${rows}_42_p$paraScale.parquet"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-      PageGen.generate(s, rows).repartition(64)
+      PageGen.generate(s, rows, paraScale = paraScale).repartition(64)
         .write.mode("overwrite").parquet(path)
       s.stop()
     }
@@ -161,6 +161,23 @@ object Bench {
     def repsJson(m: Map[Int, Vector[Double]], k: Int) =
       m(k).map(v => f"$v%.3f").mkString("[", ",", "]")
 
+    // ---- Realistic-document-size throughput: articles scaled ~40× (to
+    // ~10-30 KB — crawl-like), reported in docs/sec AND MB/s of raw
+    // payload, at the high parallelism level only.
+    val bigRows = sys.env.getOrElse("SPARK_GRAFT_BIGDOC_ROWS", "150000").toLong
+    val bigdoc: Option[(Long, Double, Double)] = if (bigRows <= 0) None else {
+      val path = ensurePages(bigRows, paraScale = 40)
+      val s = session(hiN)
+      try {
+        warmup(s, path)
+        val payloadBytes = s.read.parquet(path)
+          .agg(sum(octet_length(col("html")).cast("long"))).collect()(0).getLong(0)
+        val secs = Seq.fill(2)(kernelSecs(s, path)).min
+        System.err.println(f"[bench] bigdoc local[$hiN]: $secs%.3f s, ${payloadBytes / 1e6}%.0f MB")
+        Some((payloadBytes, secs, bigRows / secs))
+      } finally s.stop()
+    }
+
     // ---- Query suite at the driver-given parallelism
     // (SPARK_GRAFT_SKIP_SUITE=1 skips it for scaling-only experiments).
     val queryTimes =
@@ -187,6 +204,10 @@ object Bench {
       f""""kernel_reps_local$loN":${repsJson(kernelAll, loN)},"kernel_reps_local$hiN":${repsJson(kernelAll, hiN)},""" +
       f""""job_rows":$jobRows,"job_local${loN}_secs":${job(loN)}%.3f,"job_local${loN}_docs_per_sec":${thr(jobRows, job(loN))}%.1f,""" +
       f""""job_local${hiN}_secs":${job(hiN)}%.3f,"job_local${hiN}_docs_per_sec":${thr(jobRows, job(hiN))}%.1f,"job_scaling_efficiency":$jobEff%.3f,""" +
-      f""""job_reps_local$loN":${repsJson(jobAll, loN)},"job_reps_local$hiN":${repsJson(jobAll, hiN)}}}""")
+      f""""job_reps_local$loN":${repsJson(jobAll, loN)},"job_reps_local$hiN":${repsJson(jobAll, hiN)}""" +
+      bigdoc.map { case (bytes, secs, dps) =>
+        f""","bigdoc":{"rows":$bigRows,"para_scale":40,"payload_mb":${bytes / 1e6}%.1f,"secs":$secs%.3f,"docs_per_sec":$dps%.1f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}"""
+      }.getOrElse("") +
+      "}}")
   }
 }

@@ -150,6 +150,28 @@ object PipelineOps {
                sum("n_docs").as("doc_memberships"))
       }, None),
 
+    // ---- Explicit routing plan (router.py:119-171 surface): the
+    // standalone ContentRouter decision — strategy, page split, cost/
+    // time model, human-readable reasoning (W4 truncation rules) — as a
+    // query over the page table. The processor encodes the same matrix
+    // in-kernel; this exposes it for cost accounting at corpus scale.
+    ("x48_routing_plan",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 1500).map { p =>
+          val parsed = graft.extract.DocParser.parse(p.html)
+          val cls = parsed.fold(
+            _ => graft.classify.Detector.default.classify(graft.model.ParsedDoc(Vector.empty)),
+            d => graft.classify.Detector.default.classify(d))
+          val r = new graft.route.Router().route(cls, "balanced")
+          (p.url, r.pdf_type, r.strategy, r.quality, r.total_pages,
+            r.direct_pages.length, r.ocr_pages.length,
+            r.estimated_cost, r.estimated_time_seconds, r.reasoning)
+        }.toDF("url", "pdf_type", "strategy", "quality", "total_pages",
+            "n_direct", "n_ocr", "est_cost", "est_time_s", "reasoning")
+          .orderBy("url")
+      }, None),
+
     // ---- Skew-safe per-host statistics (SURVEY §7.5 risk 4): PageGen
     // hosts are Zipfian (host0 ≈ 7% of all rows — a hot key that would
     // overload one reducer in a naive exact-distinct at 10^12 rows).

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -41,6 +41,46 @@ object VectorOps {
     */
   private def dot(a: String, b: String) =
     call_function("vector_dot", col(a), col(b))
+
+  /** Deterministic md5-derived centroid for IVF cell `c` (dim taken from
+    * the vector length) — same construction on the oracle side.
+    */
+  private def centroid(c: Column, dim: Column): Column =
+    transform(sequence(lit(0), dim - 1), d =>
+      (ascii(substring(md5(concat(c.cast("string"), lit("c"), d.cast("string"))), lit(1), lit(1)))
+        % 16).cast("double") - 7.5)
+
+  /** IVF coarse quantization: vec_id → argmax-dot cell over 8 centroids
+    * (ties break to the lowest cell id, matching the oracle's
+    * row_number ordering).
+    */
+  private def ivfAssign(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val dots = e.select(col("vec_id"), col("v"), col("nrm"),
+        explode(sequence(lit(0), lit(7))).as("cell"))
+      .withColumn("cdot", call_function("vector_dot", col("v"), centroid(col("cell"), size(col("v")))))
+    val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell").asc)
+    dots.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("vec_id", "cell", "v", "nrm")
+  }
+
+  /** Shared WITH-prefix of the IVF oracle SQL (defines e, cent, dots,
+    * assign).
+    */
+  private val ivfAssignSql: String =
+    """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding,1)-1 AS i FROM embeddings),
+      cent AS (SELECT c.c, d.d,
+          CAST(ascii(substr(md5(c.c || 'c' || d.d),1,1)) % 16 AS DOUBLE) - 7.5 AS w
+        FROM (SELECT unnest(range(8)) AS c) c CROSS JOIN (SELECT unnest(range(64)) AS d) d),
+      dots AS (SELECT e.vec_id, cent.c, sum(e.v * cent.w) AS dot
+        FROM e JOIN cent ON e.i = cent.d GROUP BY 1,2),
+      assign AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, c AS cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
+        FROM dots) WHERE rn = 1)
+    """
 
   val defs: Seq[Q] = Seq(
 
@@ -106,6 +146,56 @@ object VectorOps {
              SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
                CAST(min(vec_id) AS BIGINT) AS min_vec_id
              FROM k GROUP BY 1 ORDER BY 1""")),
+
+    // ---- IVF cell assignment: 8 deterministic md5-derived centroids;
+    // each vector joins its argmax-dot cell. At scale this is the
+    // coarse quantizer of IVF-ANN: one narrow pass over the corpus, and
+    // subsequent searches touch only one cell (1/k of the data).
+    ("q32_ivf_cells",
+      (s, d) => ivfAssign(s, d)
+        .withColumn("cell", col("cell").cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+        .orderBy("cell"),
+      Some(ivfAssignSql +
+        """SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+          CAST(min(vec_id) AS BIGINT) AS min_vec_id
+          FROM assign GROUP BY 1 ORDER BY 1""")),
+
+    // ---- IVF top-k: queries search ONLY their own cell (the ANN scale
+    // path — recall trades against the 8× candidate reduction; the
+    // brute-force q29 is its exact-recall verifier).
+    ("q33_ivf_topk",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val assign = ivfAssign(s, d)
+        val q = assign.where(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("cell"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val n = assign.select(col("vec_id").as("neighbor_id"), col("cell"),
+          col("v").as("nv"), col("nrm").as("nn"))
+        val scored = n.join(broadcast(q), Seq("cell"))
+          .where(col("neighbor_id") =!= col("query_id"))
+          .withColumn("cos", dot("qv", "nv") / (col("qn") * col("nn")))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+        scored.withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 3)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfAssignSql +
+        """, p AS (SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+             sum(eq.v*en.v)/(sqrt(sum(eq.v*eq.v))*sqrt(sum(en.v*en.v))) AS cos
+           FROM assign q JOIN assign n ON q.cell = n.cell AND q.vec_id <> n.vec_id
+           JOIN e eq ON eq.vec_id = q.vec_id
+           JOIN e en ON en.vec_id = n.vec_id AND en.i = eq.i
+           WHERE q.vec_id < 10
+           GROUP BY 1,2),
+        rk AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+               FROM p)
+        SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 3
+        ORDER BY query_id, rank""")),
 
     // ---- All-pairs cosine near-dup (embedding near-duplicate detection
     // baseline; ids only — rank order is FP-stable, raw scores are not).

@@ -106,9 +106,9 @@ object PageGen {
     * by common boilerplate (nav/footer/related links) — the workhorse
     * family for boilerplate-stripping and dedup ops at scale.
     */
-  def articleHtml(seed: Long, id: Long): Array[Byte] = {
+  def articleHtml(seed: Long, id: Long, paraScale: Int = 1): Array[Byte] = {
     val h0 = mix64(seed ^ mix64(id ^ 0x61727469636cL))
-    val nPara = 2 + ((h0 >>> 7) % 4).toInt.abs
+    val nPara = (2 + ((h0 >>> 7) % 4).toInt.abs) * paraScale
     val paras = (0 until nPara).map { p =>
       s"<p>${sentence(mix64(h0 ^ p), 14 + ((h0 >>> (p + 3)) % 9).toInt.abs)}</p>"
     }.mkString("\n")
@@ -133,20 +133,23 @@ object PageGen {
     if (u < 0.06 && id >= 32) (id / 32) * 32 else id
   }
 
-  def payloadFor(seed: Long, id: Long): (String, Array[Byte]) = {
+  def payloadFor(seed: Long, id: Long, paraScale: Int = 1): (String, Array[Byte]) = {
     val cid = contentId(seed, id)
     val family = familyFor(seed, cid)
     val payload = family match {
-      case "article" => articleHtml(seed, cid)
+      case "article" => articleHtml(seed, cid, paraScale)
       case f => Fixtures.families.find(_._1 == f).map(_._2).getOrElse(Fixtures.textSimpleHtml)
     }
     (family, payload)
   }
 
-  /** Deterministic row for (seed, id). */
-  def row(seed: Long, id: Long): Page = {
+  /** Deterministic row for (seed, id). `paraScale` multiplies article
+    * length (bench realism knob: real crawl pages are 10-100× larger
+    * than the unit-test fixtures); 1 = the pinned test corpus.
+    */
+  def row(seed: Long, id: Long, paraScale: Int = 1): Page = {
     val host = hostFor(seed, id)
-    val (family, payload) = payloadFor(seed, id)
+    val (family, payload) = payloadFor(seed, id, paraScale)
     val ts = new Timestamp(1700000000000L + (mix64(seed ^ id) >>> 24))
     Page(
       url = s"https://host$host.example/$family/p$id.html",
@@ -159,9 +162,10 @@ object PageGen {
   /** Distributed generation: pure function of the range, safe at any
     * parallelism.
     */
-  def generate(spark: SparkSession, rows: Long, seed: Long = 42L): Dataset[Page] = {
+  def generate(spark: SparkSession, rows: Long, seed: Long = 42L,
+      paraScale: Int = 1): Dataset[Page] = {
     import spark.implicits._
-    spark.range(0, rows).mapPartitions(_.map(id => row(seed, id)))
+    spark.range(0, rows).mapPartitions(_.map(id => row(seed, id, paraScale)))
   }
 
   /** Generate-and-cache a parquet pages table (used by Verify/Bench so
