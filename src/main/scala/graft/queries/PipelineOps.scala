@@ -150,6 +150,32 @@ object PipelineOps {
                sum("n_docs").as("doc_memberships"))
       }, None),
 
+    // ---- Extraction-quality eval (reference eval framework A9:
+    // CER/WER/Jaccard corpus roll-up). Ref = accurate extraction,
+    // hyp = fast (direct-only) — quantifies what the OCR/boilerplate
+    // path adds per document class.
+    ("x49_eval_quality",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 800).mapPartitions { it =>
+          val proc = Processor.default
+          it.map { p =>
+            val ref = proc.extract(p, "accurate")
+            val hyp = proc.extract(p, "fast")
+            (ref.pdf_type,
+              graft.text.TextEval.cer(ref.text, hyp.text),
+              graft.text.TextEval.wer(ref.text, hyp.text),
+              graft.text.TextEval.jaccardWords(ref.text, hyp.text))
+          }
+        }.toDF("pdf_type", "cer", "wer", "jaccard")
+          .groupBy("pdf_type")
+          .agg(count(lit(1)).as("n_docs"),
+               round(avg("cer"), 6).as("avg_cer"),
+               round(avg("wer"), 6).as("avg_wer"),
+               round(avg("jaccard"), 6).as("avg_jaccard"))
+          .orderBy("pdf_type")
+      }, None),
+
     // ---- Explicit routing plan (router.py:119-171 surface): the
     // standalone ContentRouter decision — strategy, page split, cost/
     // time model, human-readable reasoning (W4 truncation rules) — as a

@@ -247,6 +247,45 @@ object Relational {
              FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
              ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    // ---- Sessionization: gap-based event sessions per user (lag +
+    // running-sum window — the batch form of a session window; the
+    // streaming twin would be mapGroupsWithState). Gap compare runs on
+    // integral microseconds so both engines agree at the boundary.
+    ("q34_sessionize",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val g = tbl(s, d, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("prev", lag("us", 1).over(w))
+          .withColumn("new_s",
+            when(col("prev").isNull || col("us") - col("prev") > 21600000000L, 1).otherwise(0))
+          .withColumn("session_id", sum("new_s").over(run))
+        g.groupBy("user_id", "session_id").agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+               sum("len").as("n_events"),
+               max("len").as("max_session_len"))
+          .orderBy("user_id")
+      },
+      Some("""WITH g AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+               lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             FROM events),
+             f AS (SELECT user_id, event_id, ts,
+               CASE WHEN prev IS NULL OR us - prev > 21600000000 THEN 1 ELSE 0 END AS new_s
+             FROM g),
+             sess AS (SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             FROM f),
+             per AS (SELECT user_id, session_id, count(*) AS len
+               FROM sess GROUP BY 1,2)
+             SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(len) AS BIGINT) AS n_events,
+               CAST(max(len) AS BIGINT) AS max_session_len
+             FROM per GROUP BY 1 ORDER BY 1""")),
+
     // ---- Exact distinct count per group (A7 distinct-backends shape).
     ("q18_count_distinct",
       (s, d) => tbl(s, d, "orders")

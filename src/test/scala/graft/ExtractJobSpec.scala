@@ -132,4 +132,19 @@ class ExtractJobSpec extends SparkSuite {
       .select("url", "text").as[(String, String)].collect().sortBy(_._1)
     assert(one.toSeq == four.toSeq)
   }
+
+  test("checkpoint retention delete drops only expired lineage rows") {
+    import graft.jobs.{Checkpoint, LineageRow}
+    val path = tmpDir("ckpt_ttl") + "/lineage"
+    val now = System.currentTimeMillis()
+    val old = new java.sql.Timestamp(now - 48L * 3600 * 1000)
+    val fresh = new java.sql.Timestamp(now)
+    Checkpoint.append(spark, path, Seq(
+      LineageRow("r1", 0, "completed", 10, 10, 0, 100, "balanced", old),
+      LineageRow("r1", 1, "completed", 10, 10, 0, 100, "balanced", fresh)))
+    val dropped = Checkpoint.cleanupExpired(spark, path, ttlHours = 24)
+    assert(dropped == 1)
+    val left = spark.read.parquet(path).collect()
+    assert(left.length == 1 && left(0).getAs[Int]("bucket") == 1)
+  }
 }
