@@ -103,7 +103,7 @@ object ExtractJob {
   def loadPages(spark: SparkSession, a: Args): Dataset[Page] = {
     import spark.implicits._
     val df =
-      if (a.input.nonEmpty) spark.read.parquet(a.input)
+      if (a.input.nonEmpty) TableIO.read(spark, a.input)
       else PageGen.generate(spark, a.rows, a.seed).toDF()
     // Pushed-down predicates + projection BEFORE the opaque kernel.
     val filtered = if (a.lang.nonEmpty) df.where(col("lang") === a.lang) else df
@@ -144,13 +144,11 @@ object ExtractJob {
       // files; with it, file count ≈ B. AQE coalesces the exchange.
       val recs = if (a.writeShuffle) recs0.repartition(col("bucket")) else recs0
 
-      recs.write
-        .mode(SaveMode.Overwrite) // dynamic: only this wave's buckets
-        .partitionBy("bucket")
-        .parquet(a.out)
+      // dynamic overwrite: only this wave's buckets are replaced
+      TableIO.overwritePartitions(recs, a.out, "bucket")
 
       // Lineage metrics from the durably-written data (exact, columnar).
-      val metrics = spark.read.parquet(a.out)
+      val metrics = TableIO.read(spark, a.out)
         .where(col("bucket").isin(wave.map(Integer.valueOf): _*))
         .groupBy(col("bucket"))
         .agg(

@@ -34,7 +34,7 @@ object Checkpoint {
   def completedBuckets(spark: SparkSession, path: String, runId: String): Set[Int] = {
     if (!new java.io.File(path).exists()) return Set.empty
     try {
-      spark.read.parquet(path)
+      graft.app.TableIO.read(spark, path)
         .where(col("run_id") === runId && col("status") === "completed")
         .select("bucket").distinct()
         .collect().map(_.getInt(0)).toSet
@@ -45,7 +45,7 @@ object Checkpoint {
   def append(spark: SparkSession, path: String, rows: Seq[LineageRow]): Unit = {
     import spark.implicits._
     if (rows.nonEmpty)
-      rows.toDF().coalesce(1).write.mode(SaveMode.Append).parquet(path)
+      graft.app.TableIO.append(rows.toDF().coalesce(1), path)
   }
 
   /** Retention delete analog of the reference's 24h job expiry
@@ -54,14 +54,14 @@ object Checkpoint {
     */
   def cleanupExpired(spark: SparkSession, path: String, ttlHours: Int = 24): Long = {
     if (!new java.io.File(path).exists()) return 0L
-    val df = spark.read.parquet(path).cache()
+    val df = graft.app.TableIO.read(spark, path).cache()
     try {
       val cutoff = new java.sql.Timestamp(System.currentTimeMillis() - ttlHours * 3600L * 1000L)
       val keep = df.where(col("completed_ts") >= lit(cutoff))
       val dropped = df.count() - keep.count()
       if (dropped > 0) {
         val tmp = path + ".tmp"
-        keep.write.mode(SaveMode.Overwrite).parquet(tmp)
+        keep.write.format(graft.app.TableIO.format).mode(SaveMode.Overwrite).save(tmp)
         val fs = new java.io.File(path)
         val bak = new java.io.File(path + ".old")
         fs.renameTo(bak)
