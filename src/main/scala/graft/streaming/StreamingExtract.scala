@@ -4,7 +4,7 @@ import graft.extract.Processor
 import graft.model.Page
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming surface of the extraction pipeline.
   *
@@ -53,6 +53,57 @@ object StreamingExtract {
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Per-user session accumulator for the custom-state path. */
+  final case class SessionAgg(lastUs: Long, nSessions: Long, nEvents: Long)
+
+  /** Gap-based sessionization with EXPLICIT state
+    * (`mapGroupsWithState`) — the streaming twin of the batch window
+    * form (queries.Relational q34). State is one tiny record per user
+    * (bounded by user cardinality, not event volume); each micro-batch
+    * folds its events into the running (lastTs, nSessions, nEvents) and
+    * emits the updated per-user totals. Event-time timeout would evict
+    * idle users in a production run; the bounded AvailableNow test run
+    * keeps NoTimeout.
+    */
+  def sessionizeStream(
+      spark: SparkSession,
+      inputDir: String,
+      tableName: String,
+      gapUs: Long = 6L * 3600 * 1000000): StreamingQuery = {
+    import spark.implicits._
+    val events = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(inputDir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+
+    def update(user: Long, rows: Iterator[(Long, Long, Long)],
+        state: GroupState[SessionAgg]): (Long, Long, Long) = {
+      // Micro-batch rows are unordered: sort this batch's events by
+      // (ts, event_id) before folding (cross-batch order is guaranteed
+      // by the source's file ordering at AvailableNow granularity).
+      val sorted = rows.toVector.sortBy(r => (r._2, r._3))
+      val init = state.getOption.getOrElse(SessionAgg(Long.MinValue, 0L, 0L))
+      val agg = sorted.foldLeft(init) { case (a, (_, us, _)) =>
+        val newSession = a.lastUs == Long.MinValue || us - a.lastUs > gapUs
+        SessionAgg(us, a.nSessions + (if (newSession) 1 else 0), a.nEvents + 1)
+      }
+      state.update(agg)
+      (user, agg.nSessions, agg.nEvents)
+    }
+
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF("user_id", "n_sessions", "n_events")
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Update)
       .trigger(Trigger.AvailableNow())
       .start()
   }

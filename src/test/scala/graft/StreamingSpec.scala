@@ -65,4 +65,23 @@ class StreamingSpec extends SparkSuite {
     val types = rows.select("pdf_type").distinct().collect().map(_.getString(0)).toSet
     assert(types.subsetOf(Set("pure_text", "pure_image", "hybrid", "unknown")))
   }
+
+  test("mapGroupsWithState sessionization equals the batch window form (q34)") {
+    import org.apache.spark.sql.functions._
+    // Stage the single-file table into a directory (file stream sources
+    // read directories) — also gives the source multiple files.
+    val in = tmpDir("sess_in")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .repartition(3).write.mode("overwrite").parquet(in)
+    StreamingExtract.sessionizeStream(spark, in, "sess_tbl")
+      .awaitTermination()
+    val streamed = spark.table("sess_tbl")
+      .groupBy("user_id")
+      .agg(max("n_sessions").as("n_sessions"), max("n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val batch = SparkEntry.queries("q34_sessionize")(spark, "/root/testdata/sf0.001")
+      .select("user_id", "n_sessions", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.sameElements(batch))
+  }
 }
