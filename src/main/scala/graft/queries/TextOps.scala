@@ -178,6 +178,94 @@ object TextOps {
                AND a.doc_id < b.doc_id
              ORDER BY doc_a, doc_b""")),
 
+    // ---- The complete near-dup dedup pipeline: MinHash-LSH candidate
+    // generation → exact-Jaccard verification (only on candidates — the
+    // O(n²) compare never happens) → connected-components clustering by
+    // iterative smallest-label propagation (converges in O(cluster
+    // diameter) rounds; at 10^12 scale the same loop runs with
+    // alternating large-star/small-star optimization, still plain
+    // joins). cluster_id = min doc_id of the component = the canonical
+    // document to keep.
+    ("q35_dup_clusters",
+      (s, d) => {
+        val sh = docToks(s, d)
+          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+          .where(size(col("shingles")) > 0)
+        val sig = sh.withColumn("sigs",
+          transform(sequence(lit(0), lit(15)),
+            j => array_min(transform(col("shingles"),
+              t => md5(concat(j.cast("string"), lit(":"), t))))))
+        val bands = sig.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band_id"),
+            col("sigs"))
+          .withColumn("band_sig", concat_ws(",", slice(col("sigs"), col("band_id") * 4 + 1, lit(4))))
+          .select("doc_id", "band_id", "band_sig")
+          .repartition(col("band_id"), col("band_sig"))
+        val a = bands.withColumnRenamed("doc_id", "doc_a")
+        val b = bands.withColumnRenamed("doc_id", "doc_b")
+        val cand = a.hint("shuffle_hash").join(b, Seq("band_id", "band_sig"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val verified = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+          .where(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+          .select("doc_a", "doc_b")
+        val edges = verified.union(
+            verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst").persist()
+        var labels = edges.select(col("src").as("doc")).distinct()
+          .withColumn("label", col("doc")).persist()
+        var changed = 1L
+        var iters = 0
+        while (changed > 0 && iters < 20) {
+          val nbrMin = edges.join(labels, col("src") === col("doc"))
+            .groupBy(col("dst")).agg(min("label").as("nbr_label"))
+          val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
+            .select(col("doc"),
+              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+            .persist()
+          // localCheckpoint truncates the iterative join lineage so plan
+          // depth stays O(1) across rounds.
+          val nextCp = next.localCheckpoint()
+          changed = nextCp.join(labels.withColumnRenamed("label", "old"), Seq("doc"))
+            .where(col("label") =!= col("old")).count()
+          labels.unpersist()
+          labels = nextCp
+          iters += 1
+        }
+        edges.unpersist()
+        labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             shl AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+             tok AS (SELECT doc_id, unnest(shingles) AS tok FROM shl WHERE len(shingles) > 0),
+             mh AS (SELECT doc_id, s.seed, min(md5(s.seed || ':' || tok)) AS minh
+                    FROM tok CROSS JOIN (SELECT unnest(range(16)) AS seed) s
+                    GROUP BY doc_id, s.seed),
+             band AS (SELECT doc_id, seed // 4 AS band_id,
+                        string_agg(minh, ',' ORDER BY seed) AS band_sig
+                      FROM mh GROUP BY doc_id, seed // 4),
+             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                      FROM band a JOIN band b ON a.band_id = b.band_id
+                        AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id),
+             verified AS (SELECT c.doc_a, c.doc_b FROM cand c
+                          JOIN shl x ON x.doc_id = c.doc_a
+                          JOIN shl y ON y.doc_id = c.doc_b
+                          WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE) /
+                                CAST(len(list_distinct(list_concat(x.shingles, y.shingles))) AS DOUBLE) >= 0.5),
+             edges AS (SELECT doc_a AS a, doc_b AS b FROM verified
+                       UNION SELECT doc_b, doc_a FROM verified),
+             nodes AS (SELECT DISTINCT a AS doc FROM edges),
+             walk(doc, r) AS (
+               SELECT doc, doc FROM nodes
+               UNION
+               SELECT e.b, w.r FROM walk w JOIN edges e ON e.a = w.doc
+             )
+             SELECT CAST(doc AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+             FROM walk GROUP BY doc ORDER BY doc_id""")),
+
     // ---- SimHash document fingerprint: 32-bit signature from md5
     // hex-digit parity of distinct tokens. Near-constant cost per doc;
     // Hamming-ball lookup is the at-scale near-dup join key.
