@@ -17,6 +17,12 @@ object SparkUtil {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Spill safety at the 100 TB design point: 128 MB input splits
+      // (default, made explicit) keep ~payload-dominated partitions well
+      // under executor memory even with the kernel's transient DOM; the
+      // only wide stages shuffle compact post-kernel records, sized by
+      // shuffle.partitions ≈ cores (AQE coalesces further).
+      .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     // Respect an existing master (spark-submit); default to local[cpus].
     val withMaster =

@@ -247,6 +247,23 @@ object Relational {
              FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
              ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    // ---- Scalar subquery via the SQL surface (spark.sql): Catalyst
+    // plans the uncorrelated aggregate once and broadcasts the scalar.
+    ("q36_scalar_subquery",
+      (s, d) => {
+        tbl(s, d, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""SELECT o_orderpriority, count(*) AS n,
+                round(min(o_totalprice),2) AS min_price
+                FROM orders_v
+                WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_v) * 1.5
+                GROUP BY 1 ORDER BY 1""")
+      },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             round(min(o_totalprice),2) AS min_price
+             FROM orders
+             WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- Sessionization: gap-based event sessions per user (lag +
     // running-sum window — the batch form of a session window; the
     // streaming twin would be mapGroupsWithState). Gap compare runs on
