@@ -147,4 +147,13 @@ class ExtractJobSpec extends SparkSuite {
     val left = spark.read.parquet(path).collect()
     assert(left.length == 1 && left(0).getAs[Int]("bucket") == 1)
   }
+
+  test("lang filter reaches the parquet scan (pushdown before the kernel)") {
+    import graft.app.ExtractJob
+    val dir = tmpDir("pages_pd")
+    graft.synth.PageGen.generate(spark, 500).toDF().write.mode("overwrite").parquet(dir)
+    val ds = ExtractJob.loadPages(spark, ExtractJob.Args(input = dir, out = "/x", lang = "de"))
+    val plan = ds.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(lang,de)"), plan)
+  }
 }
