@@ -247,6 +247,40 @@ object Relational {
              FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
              ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    // ---- As-of join, composed from built-ins (preference (a) for an
+    // operator Spark lacks): for each purchase, the most recent prior
+    // view by the same user. Union the tagged streams, order by
+    // (ts, side) so a view at the exact purchase timestamp counts as
+    // prior, and carry the last view ts forward with an ignore-nulls
+    // window — one shuffle on user_id, no range join explosion. Oracle
+    // uses the engine-native ASOF LEFT JOIN.
+    ("q37_asof_join",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = tbl(s, d, "events")
+        val views = ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), lit(0).as("side"), lit(null).cast("long").as("event_id"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), lit(1).as("side"), col("event_id"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("side").asc, col("event_id").asc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        views.union(purchases)
+          .withColumn("last_view",
+            last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+          .where(col("side") === 1)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("last_view").cast("timestamp"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""WITH purchases AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+             views AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view')
+             SELECT p.event_id, p.user_id,
+               strftime(v.vts, '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts
+             FROM purchases p ASOF LEFT JOIN views v
+               ON p.user_id = v.user_id AND v.vts <= p.ts
+             ORDER BY p.event_id""")),
+
     // ---- Scalar subquery via the SQL surface (spark.sql): Catalyst
     // plans the uncorrelated aggregate once and broadcasts the scalar.
     ("q36_scalar_subquery",
