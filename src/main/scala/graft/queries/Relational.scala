@@ -281,6 +281,36 @@ object Relational {
                ON p.user_id = v.user_id AND v.vts <= p.ts
              ORDER BY p.event_id""")),
 
+    // ---- Range (interval) join via bucketize-to-equi-join: views
+    // within ±60s of each purchase. A naive |Δt|≤ε condition is a
+    // nested-loop cross product; bucketing both sides to ε-grains and
+    // equi-joining on bucket∈{b-1,b,b+1} (one side replicated 3×) makes
+    // it a hash join whose per-bucket cardinality is bounded by event
+    // density — the pattern that survives 10^12 rows. Exact predicate
+    // re-checked after the join.
+    ("q38_range_join",
+      (s, d) => {
+        val eps = 60000000L // 60s in µs
+        val ev = tbl(s, d, "events")
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("us"), floor(col("us") / eps).as("bucket"))
+        val v = ev.where(col("event_type") === "view")
+          .select(col("us").as("vus"),
+            explode(array(floor(col("us") / eps) - 1, floor(col("us") / eps),
+              floor(col("us") / eps) + 1)).as("bucket"))
+        p.join(v, Seq("bucket"))
+          .where(abs(col("us") - col("vus")) <= eps)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_nearby_views"))
+          .orderBy("event_id")
+      },
+      Some("""WITH p AS (SELECT event_id, epoch_us(ts) AS us FROM events WHERE event_type = 'purchase'),
+             v AS (SELECT epoch_us(ts) AS us FROM events WHERE event_type = 'view')
+             SELECT p.event_id, CAST(count(*) AS BIGINT) AS n_nearby_views
+             FROM p JOIN v ON abs(p.us - v.us) <= 60000000
+             GROUP BY 1 ORDER BY 1""")),
+
     // ---- Scalar subquery via the SQL surface (spark.sql): Catalyst
     // plans the uncorrelated aggregate once and broadcasts the scalar.
     ("q36_scalar_subquery",
