@@ -223,9 +223,9 @@ object TextOps {
           val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
             .select(col("doc"),
               least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-            .persist()
-          // localCheckpoint truncates the iterative join lineage so plan
-          // depth stays O(1) across rounds.
+          // localCheckpoint materializes AND truncates the iterative
+          // join lineage so plan depth stays O(1) across rounds (no
+          // extra persist needed — checkpoint blocks are the cache).
           val nextCp = next.localCheckpoint()
           changed = nextCp.join(labels.withColumnRenamed("label", "old"), Seq("doc"))
             .where(col("label") =!= col("old")).count()
