@@ -39,7 +39,7 @@ object BlockSegmenter {
   /** Collapse whitespace runs (Python-space classes) to single spaces and
     * trim — one canonical spacing for block text.
     */
-  def normalize(s: String): String = PyText.pySplit(s).mkString(" ")
+  def normalize(s: String): String = PyText.normalizeSpaces(s)
 
   private final class BlockBuf {
     val sb = new java.lang.StringBuilder()
@@ -54,7 +54,9 @@ object BlockSegmenter {
     val buf = new BlockBuf
 
     def flush(): Unit = {
-      val norm = normalize(buf.sb.toString)
+      // Single-pass normalize straight off the builder (no toString,
+      // no token vector) — this is the segmentation hot path.
+      val norm = PyText.normalizeSpaces(buf.sb)
       if (norm.nonEmpty)
         out += Block(Block.TextType, norm, math.min(buf.anchorChars, norm.length), buf.tag, buf.ctx, "")
       buf.sb.setLength(0)
@@ -65,7 +67,7 @@ object BlockSegmenter {
       el.children.foreach {
         case TextNode(t) =>
           buf.sb.append(t)
-          if (anchorDepth > 0) buf.anchorChars += normalize(t).length
+          if (anchorDepth > 0) buf.anchorChars += PyText.normalizedLength(t)
         case child: Element =>
           val tag = child.tag
           if (skipTags.contains(tag)) ()

@@ -44,6 +44,45 @@ object PyText {
     out.result()
   }
 
+  /** `pySplit(s).mkString(" ")` in one pass with no token vector —
+    * the segmenter's per-block normalization hot path (accepts a
+    * StringBuilder directly so callers skip the toString copy).
+    */
+  def normalizeSpaces(s: CharSequence): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pending = false
+    while (i < n) {
+      val cp = Character.codePointAt(s, i)
+      if (isPySpace(cp)) { if (sb.length > 0) pending = true }
+      else {
+        if (pending) { sb.append(' '); pending = false }
+        sb.appendCodePoint(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  /** `normalizeSpaces(s).length` without allocating. */
+  def normalizedLength(s: CharSequence): Int = {
+    val n = s.length
+    var i = 0
+    var len = 0
+    var pending = false
+    while (i < n) {
+      val cp = Character.codePointAt(s, i)
+      if (isPySpace(cp)) { if (len > 0) pending = true }
+      else {
+        if (pending) { len += 1; pending = false }
+        len += Character.charCount(cp)
+      }
+      i += Character.charCount(cp)
+    }
+    len
+  }
+
   /** Python `len(s.split())` — the reference's word count
     * (processor.py:129, backends/base.py:36).
     */

@@ -14,10 +14,11 @@ object KernelProfile {
     val payloads = (0L until n.toLong).map(id => PageGen.row(42L, id)).toArray
 
     def time(label: String)(f: => Unit): Unit = {
-      f // warmup
-      val t0 = System.nanoTime()
-      f
-      val perDoc = (System.nanoTime() - t0).toDouble / n
+      f; f // warmup (JIT)
+      val best = (1 to 5).map { _ =>
+        val t0 = System.nanoTime(); f; System.nanoTime() - t0
+      }.min
+      val perDoc = best.toDouble / n
       println(f"[profile] $label%-22s ${perDoc / 1000}%8.2f µs/doc  (${1e9 / perDoc}%9.0f docs/s/core)")
     }
 

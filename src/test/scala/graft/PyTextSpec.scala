@@ -59,4 +59,19 @@ class PyTextSpec extends AnyFunSuite {
       assert(PyText.isBlank(s) == PyText.pyStrip(s).isEmpty)
     }
   }
+
+  test("normalizeSpaces/normalizedLength == pySplit-join (seeded fuzz)") {
+    val rng = new scala.util.Random(0xA11CE)
+    val pool = "ab c\td\ne\u00a0f\u2029g\u0085\u1680 xyz  "
+    (1 to 2000).foreach { _ =>
+      val s = Seq.fill(rng.nextInt(30))(pool(rng.nextInt(pool.length))).mkString
+      val ref = PyText.pySplit(s).mkString(" ")
+      assert(PyText.normalizeSpaces(s) == ref, s"input=${s.map(_.toInt)}")
+      assert(PyText.normalizedLength(s) == ref.length)
+    }
+    // Surrogate pairs (astral code points) round-trip.
+    val astral = "a \uD83D\uDE00  b \uD83D\uDE00"
+    assert(PyText.normalizeSpaces(astral) == PyText.pySplit(astral).mkString(" "))
+    assert(PyText.normalizedLength(astral) == PyText.normalizeSpaces(astral).length)
+  }
 }
