@@ -224,6 +224,21 @@ object PipelineOps {
           .limit(20)
       }, None),
 
+    // ---- The extraction kernel as a first-class Catalyst operator
+    // (plans.GraftExtract: LogicalPlan + Strategy + SparkPlan) — same
+    // results as x40's typed mapPartitions form, but EXPLAIN-visible
+    // and with the unused legacy text column pruned from the scan.
+    ("x50_extract_operator",
+      (s, _) => {
+        val dir = s"/tmp/graft_q/op_pages_1200"
+        if (!new java.io.File(s"$dir/_SUCCESS").exists())
+          pages(s, 1200).toDF().repartition(4).write.mode("overwrite").parquet(dir)
+        graft.plans.ExtractOperator.extract(s.read.parquet(dir), "balanced")
+          .select("url", "pdf_type", "total_pages", "word_count",
+            "extraction_method", "confidence", "success")
+          .orderBy("url")
+      }, None),
+
     // ---- Multimodal binary kernel: opaque payload bytes → typed
     // metadata via per-partition stub decoder.
     ("x46_multimodal_kernel",
