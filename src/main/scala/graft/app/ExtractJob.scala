@@ -50,7 +50,8 @@ object ExtractJob {
       buckets: Int = 64,
       waveSize: Int = 0, // 0 → all remaining buckets in one wave
       repartition: Int = 0,
-      writeShuffle: Boolean = true)
+      writeShuffle: Boolean = true,
+      inputFormat: String = "table") // table (parquet/iceberg via TableIO) | warc
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -69,6 +70,7 @@ object ExtractJob {
         case "--wave-size" => a = a.copy(waveSize = argv(i + 1).toInt); i += 2
         case "--repartition" => a = a.copy(repartition = argv(i + 1).toInt); i += 2
         case "--no-write-shuffle" => a = a.copy(writeShuffle = false); i += 1
+        case "--input-format" => a = a.copy(inputFormat = argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -103,10 +105,16 @@ object ExtractJob {
   def loadPages(spark: SparkSession, a: Args): Dataset[Page] = {
     import spark.implicits._
     val df =
-      if (a.input.nonEmpty) TableIO.read(spark, a.input)
+      if (a.input.nonEmpty && a.inputFormat == "warc")
+        // Raw crawl archives: one task per archive file (WARC is the
+        // crawl's natural split granularity); no lang column until the
+        // kernel runs, so --lang doesn't apply here.
+        graft.sources.Warc.readPages(spark, a.input).toDF()
+      else if (a.input.nonEmpty) TableIO.read(spark, a.input)
       else PageGen.generate(spark, a.rows, a.seed).toDF()
     // Pushed-down predicates + projection BEFORE the opaque kernel.
-    val filtered = if (a.lang.nonEmpty) df.where(col("lang") === a.lang) else df
+    val filtered = if (a.lang.nonEmpty && a.inputFormat != "warc")
+      df.where(col("lang") === a.lang) else df
     filtered.select("url", "warc_ts", "html", "text", "lang").as[Page]
   }
 

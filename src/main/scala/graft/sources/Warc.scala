@@ -1,0 +1,150 @@
+package graft.sources
+
+import graft.model.Page
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.sql.Timestamp
+
+/** From-scratch WARC 1.0 reader/writer — the Common-Crawl container
+  * format, so the engine ingests crawl archives directly instead of
+  * requiring a pre-converted pages table. Co-evolved writer/parser per
+  * the fixture philosophy (SURVEY.md §5.2); documented subset:
+  *
+  *  - records with `WARC-Type: response` become pages; other types
+  *    (warcinfo, request, metadata) are skipped;
+  *  - the record payload is an HTTP response: status line + headers are
+  *    stripped (case-insensitive header handling, \r\n or \n endings)
+  *    and the body becomes `Page.html`;
+  *  - `WARC-Target-URI` → url, `WARC-Date` (ISO-8601 Z) → warc_ts;
+  *  - `Content-Length` is authoritative for the payload span; malformed
+  *    records are skipped, never thrown — crawl archives are
+  *    adversarial.
+  */
+object Warc {
+
+  private val Iso = java.time.format.DateTimeFormatter.ISO_INSTANT
+
+  /** Write pages as a WARC byte stream (fixture/round-trip writer). */
+  def write(pages: Seq[Page]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    pages.foreach { p =>
+      val httpHead =
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+      val payload = httpHead.getBytes(ISO_8859_1) ++
+        (if (p.html == null) Array.emptyByteArray else p.html)
+      val date = Iso.format(java.time.Instant.ofEpochMilli(
+        if (p.warc_ts == null) 0L else p.warc_ts.getTime))
+      val head =
+        s"""WARC/1.0\r
+           |WARC-Type: response\r
+           |WARC-Target-URI: ${p.url}\r
+           |WARC-Date: $date\r
+           |Content-Length: ${payload.length}\r
+           |\r
+           |""".stripMargin
+      out.write(head.getBytes(ISO_8859_1))
+      out.write(payload)
+      out.write("\r\n\r\n".getBytes(ISO_8859_1))
+    }
+    out.toByteArray
+  }
+
+  /** Parse a WARC byte stream into pages (response records only). */
+  def parse(bytes: Array[Byte]): Vector[Page] = {
+    val out = Vector.newBuilder[Page]
+    var i = 0
+    val n = bytes.length
+
+    def lineEnd(from: Int): Int = {
+      var j = from
+      while (j < n && bytes(j) != '\n') j += 1
+      j
+    }
+    def lineAt(from: Int): (String, Int) = {
+      val e = lineEnd(from)
+      val raw = new String(bytes, from, e - from, ISO_8859_1)
+      (raw.stripSuffix("\r"), math.min(e + 1, n))
+    }
+
+    while (i < n) {
+      // Seek the next record marker.
+      val (first, afterFirst) = lineAt(i)
+      if (!first.startsWith("WARC/")) { i = afterFirst }
+      else {
+        // WARC headers until blank line.
+        var j = afterFirst
+        var url = ""; var date = ""; var tpe = ""; var len = -1L
+        var halted = false
+        var blank = false
+        while (!blank && !halted && j < n) {
+          val (line, next) = lineAt(j)
+          j = next
+          if (line.isEmpty) blank = true
+          else {
+            val c = line.indexOf(':')
+            if (c > 0) {
+              val k = line.substring(0, c).trim.toLowerCase
+              val v = line.substring(c + 1).trim
+              k match {
+                case "warc-type" => tpe = v
+                case "warc-target-uri" => url = v
+                case "warc-date" => date = v
+                case "content-length" =>
+                  len = try v.toLong catch { case _: Exception => halted = true; -1L }
+                case _ =>
+              }
+            }
+          }
+        }
+        if (halted || len < 0 || j + len > n) {
+          // Malformed record: skip to next line and rescan.
+          i = j
+        } else {
+          if (tpe.equalsIgnoreCase("response") && url.nonEmpty) {
+            val payload = java.util.Arrays.copyOfRange(bytes, j, (j + len).toInt)
+            val body = stripHttpHeaders(payload)
+            val ts = try new Timestamp(java.time.Instant.from(Iso.parse(date)).toEpochMilli)
+              catch { case _: Exception => new Timestamp(0L) }
+            out += Page(url, ts, body, "", "")
+          }
+          i = (j + len).toInt
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Strip the HTTP status line + headers from a response payload; a
+    * payload that doesn't start with `HTTP/` is returned as-is.
+    */
+  def stripHttpHeaders(payload: Array[Byte]): Array[Byte] = {
+    if (payload.length < 5 ||
+        !new String(payload, 0, 5, ISO_8859_1).equals("HTTP/")) return payload
+    // Find the first blank line (\r\n\r\n or \n\n).
+    var i = 0
+    val n = payload.length
+    while (i < n) {
+      if (payload(i) == '\n') {
+        if (i + 1 < n && payload(i + 1) == '\n')
+          return java.util.Arrays.copyOfRange(payload, i + 2, n)
+        if (i + 2 < n && payload(i + 1) == '\r' && payload(i + 2) == '\n')
+          return java.util.Arrays.copyOfRange(payload, i + 3, n)
+      }
+      i += 1
+    }
+    payload // headers never ended — treat whole payload as body
+  }
+
+  /** Read a directory/glob of `.warc` files into a pages Dataset via the
+    * binaryFile source — one task per archive (WARC archives are the
+    * crawl's split granularity; CC ships ~1 GB gzip members, so at
+    * cluster scale parallelism = archive count).
+    */
+  def readPages(spark: org.apache.spark.sql.SparkSession, path: String):
+      org.apache.spark.sql.Dataset[Page] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(path)
+      .select("content").as[Array[Byte]]
+      .flatMap(bytes => parse(bytes))
+  }
+}

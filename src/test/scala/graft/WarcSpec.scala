@@ -1,0 +1,82 @@
+package graft
+
+import graft.model.Page
+import graft.sources.Warc
+import graft.synth.PageGen
+import java.sql.Timestamp
+
+/** WARC reader/writer: round-trip fidelity, HTTP header stripping,
+  * malformed-record resilience, and pipeline equivalence (extraction
+  * from WARC == extraction from the parquet table).
+  */
+class WarcSpec extends SparkSuite {
+
+  private def page(url: String, html: String, ts: Long = 1700000000000L) =
+    Page(url, new Timestamp(ts), html.getBytes("UTF-8"), "", "en")
+
+  test("round-trip: write → parse preserves url, timestamp, payload bytes") {
+    val pages = (0L until 50L).map(id => PageGen.row(42L, id))
+    val parsed = Warc.parse(Warc.write(pages))
+    assert(parsed.length == 50)
+    parsed.zip(pages).foreach { case (a, b) =>
+      assert(a.url == b.url)
+      assert(a.warc_ts.getTime == b.warc_ts.getTime)
+      assert(java.util.Arrays.equals(a.html, b.html), a.url)
+    }
+  }
+
+  test("HTTP headers are stripped; headerless payloads pass through") {
+    val body = "<html><body><p>x</p></body></html>"
+    val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n$body"
+    assert(new String(Warc.stripHttpHeaders(http.getBytes("UTF-8")), "UTF-8") == body)
+    assert(new String(Warc.stripHttpHeaders(body.getBytes("UTF-8")), "UTF-8") == body)
+    // LF-only header endings
+    val lf = s"HTTP/1.1 200 OK\nContent-Type: text/html\n\n$body"
+    assert(new String(Warc.stripHttpHeaders(lf.getBytes("UTF-8")), "UTF-8") == body)
+  }
+
+  test("non-response records and malformed garbage are skipped") {
+    val good = Warc.write(Seq(page("https://a.example/x", "<p>keep</p>")))
+    val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val junk = "complete garbage\nnot a record\n".getBytes("ISO-8859-1")
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://b.example/y\r\n" +
+      "Content-Length: 999999\r\n\r\nshort").getBytes("ISO-8859-1")
+    val parsed = Warc.parse(junk ++ info ++ good ++ truncated)
+    assert(parsed.length == 1 && parsed(0).url == "https://a.example/x")
+  }
+
+  test("pipeline from WARC == pipeline from parquet (end to end)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pages = (0L until 300L).map(id => PageGen.row(42L, id))
+    val dir = tmpDir("warc_in")
+    // Two archive files, read via binaryFile source.
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"),
+      Warc.write(pages.take(150)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc"),
+      Warc.write(pages.drop(150)))
+
+    val proc = graft.extract.Processor.default
+    val fromWarc = Warc.readPages(spark, dir)
+      .mapPartitions(it => it.map(p => proc.extract(p, "balanced")))
+      .select("url", "text", "word_count").orderBy("url").collect()
+    val fromTable = PageGen.generate(spark, 300)
+      .mapPartitions(it => it.map(p => proc.extract(p, "balanced")))
+      .select("url", "text", "word_count").orderBy("url").collect()
+    assert(fromWarc.length == 300)
+    assert(fromWarc.sameElements(fromTable))
+  }
+
+  test("ExtractJob ingests WARC archives directly (--input-format warc)") {
+    import graft.app.ExtractJob
+    val in = tmpDir("warc_job_in")
+    val out = tmpDir("warc_job_out")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$in/c.warc"),
+      Warc.write((0L until 200L).map(id => PageGen.row(42L, id))))
+    val rows = ExtractJob.run(spark,
+      ExtractJob.Args(input = in, inputFormat = "warc", out = out, buckets = 8))
+    assert(rows.map(_.docs).sum == 200)
+    assert(spark.read.parquet(out).count() == 200)
+  }
+}
