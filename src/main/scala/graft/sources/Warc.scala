@@ -135,6 +135,38 @@ object Warc {
     payload // headers never ended — treat whole payload as body
   }
 
+  /** Transparent gunzip: Common Crawl ships `.warc.gz` with one gzip
+    * member PER RECORD (so archives are splittable by member);
+    * GZIPInputStream consumes concatenated members, so a full-file
+    * inflate yields the whole record stream. Non-gzip bytes pass
+    * through.
+    */
+  def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var r = in.read(buf)
+      while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
+    } catch { case _: java.io.IOException => /* truncated member: keep what inflated */ }
+    finally in.close()
+    out.toByteArray
+  }
+
+  /** Gzip pages as per-record members (the CC layout). */
+  def writeGz(pages: Seq[Page]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    pages.foreach { p =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(write(Seq(p)))
+      gz.finish()
+    }
+    out.toByteArray
+  }
+
   /** Read a directory/glob of `.warc` files into a pages Dataset via the
     * binaryFile source — one task per archive (WARC archives are the
     * crawl's split granularity; CC ships ~1 GB gzip members, so at
@@ -145,6 +177,6 @@ object Warc {
     import spark.implicits._
     spark.read.format("binaryFile").load(path)
       .select("content").as[Array[Byte]]
-      .flatMap(bytes => parse(bytes))
+      .flatMap(bytes => parse(gunzipIfNeeded(bytes)))
   }
 }

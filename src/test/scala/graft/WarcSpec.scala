@@ -68,6 +68,21 @@ class WarcSpec extends SparkSuite {
     assert(fromWarc.sameElements(fromTable))
   }
 
+  test("gzipped archives (per-record members, the CC layout) round-trip") {
+    import org.apache.spark.sql.functions._
+    val pages = (0L until 80L).map(id => PageGen.row(42L, id))
+    val gz = Warc.writeGz(pages)
+    assert(gz(0) == 0x1f.toByte && gz(1) == 0x8b.toByte)
+    val parsed = Warc.parse(Warc.gunzipIfNeeded(gz))
+    assert(parsed.length == 80)
+    assert(parsed.zip(pages).forall { case (a, b) =>
+      a.url == b.url && java.util.Arrays.equals(a.html, b.html) })
+    // Through the Spark source too.
+    val dir = tmpDir("warc_gz")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc.gz"), gz)
+    assert(Warc.readPages(spark, dir).count() == 80)
+  }
+
   test("ExtractJob ingests WARC archives directly (--input-format warc)") {
     import graft.app.ExtractJob
     val in = tmpDir("warc_job_in")
