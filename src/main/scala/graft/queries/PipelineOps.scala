@@ -224,6 +224,19 @@ object PipelineOps {
           .limit(20)
       }, None),
 
+    // ---- Unconditional main-content extraction (the north-star web
+    // surface): boilerplate stripped from EVERY page, not only the
+    // OCR-routed ones — see extract.MainContent.
+    ("x51_main_content",
+      (s, _) => {
+        import s.implicits._
+        pages(s, 1500).mapPartitions(_.map(graft.extract.MainContent.extract))
+          .toDF()
+          .select(col("url"), col("total_pages"), col("word_count"),
+            round(col("removed_ratio"), 6).as("removed_ratio"), col("success"))
+          .orderBy("url")
+      }, None),
+
     // ---- The extraction kernel as a first-class Catalyst operator
     // (plans.GraftExtract: LogicalPlan + Strategy + SparkPlan) — same
     // results as x40's typed mapPartitions form, but EXPLAIN-visible
