@@ -50,7 +50,7 @@ object Bench {
   }
 
   private def ensurePages(rows: Long, paraScale: Int = 1): String = {
-    val path = s"/tmp/graft_bench/pages_${rows}_42_p$paraScale.parquet"
+    val path = s"/tmp/graft_bench/pages_v${PageGen.genVersion}_${rows}_42_p$paraScale.parquet"
     if (!new java.io.File(s"$path/_SUCCESS").exists()) {
       val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
       PageGen.generate(s, rows, paraScale = paraScale).repartition(64)
@@ -204,8 +204,18 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
     def thr(rows: Long, secs: Double) = rows / secs
+    // Storage mode is part of the result: tmpfs-backed shuffle/output
+    // excludes storage I/O (the sandbox default — its lone ~130 MB/s disk
+    // is a host artifact), so downstream readers of BENCH_r*.json must be
+    // able to tell the configurations apart.
+    val localDir = sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft_spark_local")
+    val jobOutBase = sys.env.getOrElse("SPARK_GRAFT_JOB_OUT", "/dev/shm/graft_bench")
+    def storageMode(p: String) = if (p.startsWith("/dev/shm")) "tmpfs" else "disk"
+    val storage =
+      s""""storage":{"shuffle_dir":"$localDir","shuffle_mode":"${storageMode(localDir)}",""" +
+      s""""job_out":"$jobOutBase","job_out_mode":"${storageMode(jobOutBase)}"},"""
     println(
-      f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extraction":{""" +
+      f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$storage"extraction":{""" +
       f""""kernel_rows":$kernelRows,"kernel_local${loN}_secs":${kernel(loN)}%.3f,"kernel_local${loN}_docs_per_sec":${thr(kernelRows, kernel(loN))}%.1f,""" +
       f""""kernel_local${hiN}_secs":${kernel(hiN)}%.3f,"kernel_local${hiN}_docs_per_sec":${thr(kernelRows, kernel(hiN))}%.1f,"kernel_scaling_efficiency":$kernelEff%.3f,""" +
       f""""kernel_reps_local$loN":${repsJson(kernelAll, loN)},"kernel_reps_local$hiN":${repsJson(kernelAll, hiN)},""" +

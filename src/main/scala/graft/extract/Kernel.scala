@@ -52,6 +52,22 @@ final class BoilerplateBackend(
     else boiler.extract(doc.pages(pageNumber - 1))
 }
 
+/** F14 decorator: unwraps ```` ```text ```` fenced blocks from a
+  * backend's raw response (reference
+  * examples/two_pass_ocr_processor_original.py:352-371 — LLM OCR models
+  * often wrap their transcription in a markdown code fence; the fence is
+  * transport framing, not content). Opt-in wrapper so deterministic
+  * backends whose output never carries fences keep byte-identical
+  * results.
+  */
+final class LlmResponseBackend(inner: ExtractionBackend) extends ExtractionBackend {
+  def name: String = inner.name
+  def method: String = inner.method
+  def isAvailable: Boolean = inner.isAvailable
+  def extractText(doc: ParsedDoc, pageNumber: Int): String =
+    PyText.unwrapTextFence(inner.extractText(doc, pageNumber))
+}
+
 /** Fallback "OCR" stand-in: raw image alt text only (the cheap local path
   * — plays the reference's Tesseract role, backends/tesseract.py:67-131).
   */

@@ -76,8 +76,11 @@ object HtmlTokenizer {
     * markup — this sits on the per-tag hot path).
     */
   private def lowerSlice(s: String, from: Int, until: Int): String = {
+    // The fast path must catch ANY uppercase (Character.isUpperCase, not
+    // just A-Z): attribute scans are permissive, so names can carry
+    // non-ASCII letters whose lowercasing Python's str.lower() performs.
     var k = from
-    while (k < until && !(s.charAt(k) >= 'A' && s.charAt(k) <= 'Z')) k += 1
+    while (k < until && !Character.isUpperCase(s.charAt(k))) k += 1
     if (k == until) s.substring(from, until)
     else s.substring(from, until).toLowerCase
   }

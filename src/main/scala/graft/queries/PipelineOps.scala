@@ -243,7 +243,9 @@ object PipelineOps {
     // and with the unused legacy text column pruned from the scan.
     ("x50_extract_operator",
       (s, _) => {
-        val dir = s"/tmp/graft_q/op_pages_1200"
+        // Cache path keyed by (generator version, rows, seed) so a stale
+        // cache from an older PageGen can never feed the operator.
+        val dir = s"/tmp/graft_q/op_pages_v${PageGen.genVersion}_1200_42"
         if (!new java.io.File(s"$dir/_SUCCESS").exists())
           pages(s, 1200).toDF().repartition(4).write.mode("overwrite").parquet(dir)
         graft.plans.ExtractOperator.extract(s.read.parquet(dir), "balanced")

@@ -46,4 +46,20 @@ object QueryUtil {
     */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Guard for the O(n²) brute-force baselines (q23/q31): they broadcast
+    * the FULL corpus to every executor, which is correct and fast as a
+    * small-scale verifier but OOMs at production scale. Refuse loudly
+    * instead of silently melting a cluster; the scale paths are q24
+    * (MinHash-LSH) and q30/q32/q33 (LSH/IVF buckets). The count is a
+    * parquet metadata-only scan — effectively free.
+    */
+  def requireBaselineScale(s: SparkSession, dir: String, table: String,
+      query: String, maxRows: Long = 200000L): Unit = {
+    val n = tbl(s, dir, table).count()
+    require(n <= maxRows,
+      s"$query is an O(n^2) full-corpus-broadcast correctness baseline, " +
+      s"limited to $maxRows rows ($table has $n). Use the bucketed scale " +
+      "path (q24 MinHash-LSH / q30 LSH / q32-q33 IVF) at this size.")
+  }
 }

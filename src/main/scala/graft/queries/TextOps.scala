@@ -92,6 +92,7 @@ object TextOps {
     // baseline; O(n²) — the scale path is q24).
     ("q23_neardup_jaccard",
       (s, d) => {
+        requireBaselineScale(s, d, "documents", "q23_neardup_jaccard")
         graft.plans.GraftFunctions.ensureRegistered(s)
         // Shingles hashed to longs (xxhash64, collision odds ~2^-64 at
         // this cardinality) and sorted ONCE per doc, so the per-pair
@@ -140,9 +141,15 @@ object TextOps {
     // group-by on band signatures whose buckets are near-dup clusters.
     ("q24_minhash_lsh",
       (s, d) => {
+        // Filter BEFORE deriving shingles, on a cheap equivalent
+        // precondition: shingles3 is non-empty iff the text has ≥3
+        // whitespace-separated tokens iff this regex finds a match.
+        // Filtering on size(shingles) > 0 instead gets pushed below the
+        // project, so the whole tokenize→shingle→distinct pipeline would
+        // evaluate once in the Filter and again in the Project.
         val sh = docToks(s, d)
+          .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
           .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
-          .where(size(col("shingles")) > 0)
         val sig = sh.withColumn("sigs",
           transform(sequence(lit(0), lit(15)),
             j => array_min(transform(col("shingles"),
@@ -188,9 +195,10 @@ object TextOps {
     // document to keep.
     ("q35_dup_clusters",
       (s, d) => {
+        // Same cheap ≥3-token precondition as q24 (see comment there).
         val sh = docToks(s, d)
+          .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
           .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
-          .where(size(col("shingles")) > 0)
         val sig = sh.withColumn("sigs",
           transform(sequence(lit(0), lit(15)),
             j => array_min(transform(col("shingles"),
@@ -217,7 +225,12 @@ object TextOps {
           .withColumn("label", col("doc")).persist()
         var changed = 1L
         var iters = 0
-        while (changed > 0 && iters < 20) {
+        // Run to convergence (changed == 0) — min-label propagation needs
+        // O(component diameter) rounds, and a silent cap would emit wrong
+        // cluster_ids for long chains. The cap below is a runaway guard
+        // only, far above any plausible diameter, and fails LOUDLY.
+        val maxIters = 1000
+        while (changed > 0 && iters < maxIters) {
           val nbrMin = edges.join(labels, col("src") === col("doc"))
             .groupBy(col("dst")).agg(min("label").as("nbr_label"))
           val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
@@ -233,6 +246,8 @@ object TextOps {
           labels = nextCp
           iters += 1
         }
+        require(changed == 0,
+          s"q35 label propagation did not converge in $maxIters rounds")
         edges.unpersist()
         labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")

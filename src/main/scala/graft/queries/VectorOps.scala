@@ -246,6 +246,7 @@ object VectorOps {
     // baseline; ids only — rank order is FP-stable, raw scores are not).
     ("q31_embedding_neardup",
       (s, d) => {
+        requireBaselineScale(s, d, "embeddings", "q31_embedding_neardup")
         val e = emb(s, d)
         // Streamed side repartitioned so the O(n²) nested-loop compare
         // parallelizes (a small parquet is otherwise a single split).

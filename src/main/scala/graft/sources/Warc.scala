@@ -140,13 +140,23 @@ object Warc {
     * GZIPInputStream consumes concatenated members, so a full-file
     * inflate yields the whole record stream. Non-gzip bytes pass
     * through.
+    *
+    * Inflated output is materialized as one array, so the hard ceiling
+    * is ~2 GB inflated per archive (JVM array limit); typical CC gzip
+    * members (~1 GB compressed, ~3-4× inflation) should instead be fed
+    * through `readPages` one member at a time, which is why the writer
+    * emits per-record members. Initial capacity is clamped so the
+    * `length * 4` estimate can't overflow Int for multi-hundred-MB
+    * inputs.
     */
   def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       return bytes
     val in = new java.util.zip.GZIPInputStream(
       new java.io.ByteArrayInputStream(bytes), 64 * 1024)
-    val out = new ByteArrayOutputStream(bytes.length * 4)
+    val cap = math.min(math.max(bytes.length.toLong * 4, 64L * 1024),
+      Int.MaxValue.toLong - 16).toInt
+    val out = new ByteArrayOutputStream(cap)
     val buf = new Array[Byte](64 * 1024)
     try {
       var r = in.read(buf)

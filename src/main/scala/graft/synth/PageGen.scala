@@ -18,6 +18,13 @@ import java.nio.charset.StandardCharsets.UTF_8
   */
 object PageGen {
 
+  /** Generator version — BUMP whenever any generation logic changes.
+    * Every on-disk cache of generated pages keys its path on this, so a
+    * stale cache from an older generator can never silently feed a
+    * query or benchmark.
+    */
+  val genVersion = 1
+
   val NumHosts = 1000
   val ZipfS = 1.07
 
@@ -172,7 +179,7 @@ object PageGen {
     * repeated runs skip generation).
     */
   def ensureParquet(spark: SparkSession, rows: Long, dir: String, seed: Long = 42L): String = {
-    val path = s"$dir/pages_${rows}_$seed.parquet"
+    val path = s"$dir/pages_v${genVersion}_${rows}_$seed.parquet"
     val marker = new java.io.File(s"$path/_SUCCESS")
     if (!marker.exists()) {
       generate(spark, rows, seed)

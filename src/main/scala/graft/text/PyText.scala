@@ -113,6 +113,24 @@ object PyText {
     s.substring(a, b)
   }
 
+  /** F14: unwrap a ```` ```text ```` fenced block from an LLM OCR
+    * response (reference
+    * examples/two_pass_ocr_processor_original.py:352-359, 364-371):
+    * if the text contains `"```text\n"`, return the slice up to the next
+    * `"\n```"` UN-stripped; any other input (no fence, unterminated
+    * fence) falls back to `str.strip()` of the whole text.
+    */
+  def unwrapTextFence(s: String): String = {
+    val open = "```text\n"
+    val start0 = s.indexOf(open)
+    if (start0 >= 0) {
+      val start = start0 + open.length
+      val end = s.indexOf("\n```", start)
+      if (end >= 0) return s.substring(start, end)
+    }
+    pyStrip(s)
+  }
+
   /** The reference's emptiness gate `if not text.strip()` (processor.py:305). */
   def isBlank(s: String): Boolean = {
     var i = 0

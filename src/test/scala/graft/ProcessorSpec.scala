@@ -191,6 +191,28 @@ class ProcessorSpec extends AnyFunSuite {
     assert(r.pages(0).method == Enums.Direct)
   }
 
+  test("F14: LlmResponseBackend unwraps ```text fences inside the cascade") {
+    // Fenced response: only the fenced slice survives into the page text.
+    val fenced = new MockBackend(
+      returnText = "Sure! Here is the page:\n```text\nFENCED BODY\n```\nanything after")
+    val r = extract(Fixtures.imageOnlyHtml, Enums.Balanced,
+      new Processor(Some(new LlmResponseBackend(fenced)), None))
+    assert(r.text.contains("FENCED BODY"))
+    assert(!r.text.contains("```"))
+    assert(!r.text.contains("Sure!"))
+    // Plain response: pass-through (Python strip), cascade untouched.
+    val plain = new MockBackend(returnText = "  plain ocr text \n")
+    val r2 = extract(Fixtures.imageOnlyHtml, Enums.Balanced,
+      new Processor(Some(new LlmResponseBackend(plain)), None))
+    assert(r2.text.contains("plain ocr text"))
+    // Fenced-but-empty body counts as an empty response → the cascade's
+    // empty-primary handling engages exactly as for a raw empty string.
+    val empty = new MockBackend(returnText = "```text\n\n```")
+    val r3 = extract(Fixtures.imageOnlyHtml, Enums.Balanced,
+      new Processor(Some(new LlmResponseBackend(empty)), None))
+    assert(r3.page_errors.exists(_.error == "empty response from primary backend"))
+  }
+
   test("fast quality makes zero backend calls (test_processor.py)") {
     val primary = new MockBackend()
     val proc = new Processor(Some(primary), None)

@@ -60,6 +60,23 @@ class PyTextSpec extends AnyFunSuite {
     }
   }
 
+  test("F14 unwrapTextFence: fenced / unterminated / absent / multi-fence") {
+    // Well-formed fence: inner slice returned UN-stripped.
+    assert(PyText.unwrapTextFence("prefix ```text\n  hello world \n``` suffix")
+      == "  hello world ")
+    // The fence marker must be exactly "```text\n" — "```text" without the
+    // newline falls back to strip (reference find('```text\n')).
+    assert(PyText.unwrapTextFence("  ```text no-newline ```  ") == "```text no-newline ```")
+    // Unterminated fence → strip fallback of the WHOLE text.
+    assert(PyText.unwrapTextFence(" ```text\nno closing fence ") == "```text\nno closing fence")
+    // No fence at all → plain Python strip.
+    assert(PyText.unwrapTextFence("  plain response \t") == "plain response")
+    // First fence wins; closing fence is the first "\n```" after it.
+    assert(PyText.unwrapTextFence("```text\nA\n```\n```text\nB\n```") == "A")
+    // Empty fence body.
+    assert(PyText.unwrapTextFence("```text\n\n```") == "")
+  }
+
   test("normalizeSpaces/normalizedLength == pySplit-join (seeded fuzz)") {
     val rng = new scala.util.Random(0xA11CE)
     val pool = "ab c\td\ne\u00a0f\u2029g\u0085\u1680 xyz  "
