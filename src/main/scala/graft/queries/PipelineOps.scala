@@ -105,8 +105,14 @@ object PipelineOps {
       }, None),
 
     // ---- JSON repair cascade (F7-F11) over deterministically-broken
-    // documents derived from events.props.
-    ("x44_json_repair",
+    // documents derived from events.props. Oracle-checked: the DuckDB
+    // side applies the same corruption, then decides repairability with
+    // json_valid over (raw | comma-inserted | trailing-comma-stripped)
+    // — exactly the outcomes the cascade produces for this corruption
+    // family (strategy 1/2 = comma insertion, strategy 3 = trailing
+    // comma removal; the repaired TEXT differs, only validity is
+    // compared).
+    ("q44_json_repair",
       (s, d) => {
         import s.implicits._
         val broken = QueryUtil.tbl(s, d, "events")
@@ -129,7 +135,36 @@ object PipelineOps {
         repaired.groupBy("ok", "was_repaired")
           .agg(count(lit(1)).as("n"))
           .orderBy("ok", "was_repaired")
-      }, None),
+      },
+      Some("""WITH b AS (SELECT event_id,
+               CASE CAST(event_id % 3 AS INT)
+                 WHEN 0 THEN regexp_replace(props, '\}$', ',}')
+                 WHEN 1 THEN regexp_replace(props, '\}$', ' "x": 1}')
+                 ELSE props END AS payload
+               FROM events),
+             -- DuckDB's json_valid (yyjson) ACCEPTS trailing commas that
+             -- strict Python json rejects, so strict validity also
+             -- requires the absence of ',}' / ',]' (safe here: props
+             -- carries no string values that could contain the pattern).
+             -- vcomma inserts the comma the missing-comma corruption
+             -- removed (suffix-exact, no regex backrefs — replacement
+             -- backref escaping differs across the JSON round-trip).
+             r AS (SELECT event_id,
+                     (json_valid(payload)
+                      AND NOT regexp_matches(payload, ',\s*[\}\]]')) AS v0,
+                     json_valid(regexp_replace(regexp_replace(payload,
+                       ',\s*\}', '}', 'g'), ',\s*\]', ']', 'g')) AS vtrail,
+                     (json_valid(regexp_replace(payload,
+                        ' "x": 1\}$', ', "x": 1}'))
+                      AND NOT regexp_matches(regexp_replace(payload,
+                        ' "x": 1\}$', ', "x": 1}'),
+                        ',\s*[\}\]]')) AS vcomma
+                   FROM b),
+             s AS (SELECT (v0 OR vtrail OR vcomma) AS ok,
+                          ((v0 OR vtrail OR vcomma) AND NOT v0) AS was_repaired
+                   FROM r)
+             SELECT ok, was_repaired, CAST(count(*) AS BIGINT) AS n
+             FROM s GROUP BY 1,2 ORDER BY 1,2""")),
 
     // ---- Winnowed rolling-hash fingerprints (passage-level dup
     // detection): fingerprints shared across documents = copied runs.
@@ -198,31 +233,34 @@ object PipelineOps {
           .orderBy("url")
       }, None),
 
-    // ---- Skew-safe per-host statistics (SURVEY §7.5 risk 4): PageGen
-    // hosts are Zipfian (host0 ≈ 7% of all rows — a hot key that would
-    // overload one reducer in a naive exact-distinct at 10^12 rows).
-    // Two-phase salted aggregation: phase 1 groups on (host, salt=
-    // pmod(xxhash64(url), 16)) so the hot host spreads over 16 reducers
-    // and distinct-sets stay small; phase 2 merges the 16 partial sets
-    // per host. Algebraic aggs (count/sum) don't need this (map-side
-    // combine already handles skew) — distinct collection does.
-    ("x47_host_stats_salted",
-      (s, _) => {
-        val pg = pages(s, 20000).toDF()
-          .select(
-            regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
-            regexp_extract(col("url"), "https://[^/]+/([^/]+)/", 1).as("family"),
-            col("url"))
-        val phase1 = pg
-          .groupBy(col("host"), pmod(xxhash64(col("url")), lit(16)).as("salt"))
-          .agg(collect_set(col("family")).as("fams"), count(lit(1)).as("n"))
+    // ---- Skew-safe per-key exact-distinct statistics (SURVEY §7.5 risk
+    // 4): at 10^12 rows a hot key (PageGen's Zipf host0 is ≈7% of the
+    // corpus; here the busiest event users) would overload one reducer
+    // in a naive collect_set. Two-phase salted aggregation: phase 1
+    // groups on (key, salt = pmod(xxhash64(row-id), 16)) so a hot key
+    // spreads over 16 reducers and distinct-sets stay small; phase 2
+    // merges the 16 partial sets per key. Algebraic aggs (count/sum)
+    // don't need this (map-side combine already handles skew) — distinct
+    // COLLECTION does. Oracle = the direct unsalted count(DISTINCT …):
+    // green hash proves the salted two-phase form is exactly equivalent.
+    ("q47_user_stats_salted",
+      (s, d) => {
+        val ev = QueryUtil.tbl(s, d, "events")
+        val phase1 = ev
+          .groupBy(col("user_id"), pmod(xxhash64(col("event_id")), lit(16)).as("salt"))
+          .agg(collect_set(col("event_type")).as("types"), count(lit(1)).as("n"))
         phase1
-          .groupBy("host")
-          .agg(size(array_distinct(flatten(collect_list(col("fams"))))).as("n_families"),
-               sum("n").as("n_pages"))
-          .orderBy(col("n_pages").desc, col("host"))
+          .groupBy("user_id")
+          .agg(size(array_distinct(flatten(collect_list(col("types"))))).as("n_types"),
+               sum("n").as("n_events"))
+          .orderBy(col("n_events").desc, col("user_id"))
           .limit(20)
-      }, None),
+      },
+      Some("""SELECT user_id,
+               CAST(count(DISTINCT event_type) AS INT) AS n_types,
+               CAST(count(*) AS BIGINT) AS n_events
+             FROM events GROUP BY user_id
+             ORDER BY n_events DESC, user_id LIMIT 20""")),
 
     // ---- Unconditional main-content extraction (the north-star web
     // surface): boilerplate stripped from EVERY page, not only the

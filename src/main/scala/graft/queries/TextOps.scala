@@ -185,6 +185,67 @@ object TextOps {
                AND a.doc_id < b.doc_id
              ORDER BY doc_a, doc_b""")),
 
+    // ---- PRODUCTION MinHash+LSH near-dup: same banding scheme as q24
+    // but with xxhash64-seeded minhashes (one 64-bit mix per shingle per
+    // seed) instead of md5 (md5 is pinned in q24 only because it is the
+    // one hash both engines share — a production corpus pays ~10× less
+    // CPU here). Candidates are verified with the codegen'd sorted-merge
+    // intersection (as q23), so the output is exact Jaccard ≥ 0.5 PAIRS
+    // — which makes the strongest possible oracle available: the DuckDB
+    // exact all-pairs set. A green hash on this row IS a measured 100%
+    // recall/precision claim for the production hash family.
+    // The signature table is localCheckpoint-materialized once (at
+    // cluster scale: a staging table) so the shingle pipeline runs once,
+    // not once per downstream branch.
+    ("q24p_minhash_prod",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        val base = docToks(s, d)
+          .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
+          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+        val enriched = base.select(col("doc_id"),
+            array_sort(transform(col("shingles"), x => xxhash64(x))).as("hsh"),
+            transform(sequence(lit(0), lit(15)),
+              j => array_min(transform(col("shingles"), t => xxhash64(j, t)))).as("sigs"))
+          .localCheckpoint()
+        // 8 bands × 2 rows (vs q24's 4×4): the banding S-curve midpoint
+        // moves from J≈0.66 down to J≈0.29, so recall AT the 0.5
+        // decision threshold is ~90% per pair and ≥1-2e-6 for the
+        // J≥0.9 near-dups this corpus plants — the 4×4 curve misses a
+        // J=0.9 pair with ~1.4% probability, which is the wrong trade
+        // when candidates are verified exactly anyway.
+        val bands = enriched
+          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band_id"), col("sigs"))
+          // Band signature compacted to one 64-bit key: the shuffle
+          // carries 8 bytes per (doc, band), not raw digests.
+          .withColumn("band_sig",
+            xxhash64(col("band_id"), concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
+          .select("doc_id", "band_id", "band_sig")
+        val a = bands.withColumnRenamed("doc_id", "doc_a")
+        val b = bands.withColumnRenamed("doc_id", "doc_b")
+        val cand = a.hint("shuffle_hash").join(b, Seq("band_id", "band_sig"))
+          .where(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        cand
+          .join(enriched.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), Seq("doc_a"))
+          .join(enriched.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), Seq("doc_b"))
+          .withColumn("c", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
+          .withColumn("jaccard",
+            col("c").cast("double") /
+              (size(col("sh_a")) + size(col("sh_b")) - col("c")).cast("double"))
+          .where(col("jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+             p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(len(list_intersect(a.shingles,b.shingles)) AS DOUBLE) /
+                     CAST(len(list_distinct(list_concat(a.shingles,b.shingles))) AS DOUBLE) AS j
+                   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+             SELECT doc_a, doc_b FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b""")),
+
     // ---- The complete near-dup dedup pipeline: MinHash-LSH candidate
     // generation → exact-Jaccard verification (only on candidates — the
     // O(n²) compare never happens) → connected-components clustering by

@@ -128,8 +128,8 @@ class QueryOpsSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
-  test("x44 JSON repair fixes the deterministic corruptions") {
-    val rows = SparkEntry.queries("x44_json_repair")(spark, sf).collect()
+  test("q44 JSON repair fixes the deterministic corruptions") {
+    val rows = SparkEntry.queries("q44_json_repair")(spark, sf).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
     // id%3==2 → untouched (ok, not repaired); id%3∈{0,1} → repaired ok.
     assert(rows.keySet == Set((true, false), (true, true)))
@@ -145,14 +145,35 @@ class QueryOpsSpec extends SparkSuite {
     assert(m.magic == "bin" && m.width >= 1 && m.height >= 1)
   }
 
-  test("x47 salted two-phase distinct equals direct aggregation") {
+  test("q47 salted two-phase distinct equals direct aggregation") {
     import org.apache.spark.sql.functions._
-    val salted = SparkEntry.queries("x47_host_stats_salted")(spark, sf).collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    val direct = graft.synth.PageGen.generate(spark, 20000).toDF()
+    val salted = SparkEntry.queries("q47_user_stats_salted")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id")
+      .agg(countDistinct("event_type").cast("int").as("n_types"), count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(salted.sameElements(direct))
+  }
+
+  test("salted two-phase distinct handles PageGen's Zipf host skew") {
+    import org.apache.spark.sql.functions._
+    // The skew-handling shape proven on the Zipf-host corpus (host0 ≈ 7%
+    // of rows — the hot key that motivates salting at 10^12 scale).
+    val pg = graft.synth.PageGen.generate(spark, 20000).toDF()
       .select(regexp_extract(col("url"), "https://([^/]+)/", 1).as("host"),
-        regexp_extract(col("url"), "https://[^/]+/([^/]+)/", 1).as("family"))
-      .groupBy("host")
+        regexp_extract(col("url"), "https://[^/]+/([^/]+)/", 1).as("family"),
+        col("url"))
+    val phase1 = pg
+      .groupBy(col("host"), pmod(xxhash64(col("url")), lit(16)).as("salt"))
+      .agg(collect_set(col("family")).as("fams"), count(lit(1)).as("n"))
+    val salted = phase1.groupBy("host")
+      .agg(size(array_distinct(flatten(collect_list(col("fams"))))).as("n_families"),
+           sum("n").as("n_pages"))
+      .orderBy(col("n_pages").desc, col("host")).limit(20).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val direct = pg.groupBy("host")
       .agg(countDistinct("family").cast("int").as("n_families"), count(lit(1)).as("n_pages"))
       .orderBy(col("n_pages").desc, col("host")).limit(20).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
