@@ -48,6 +48,27 @@ object PipelineOps {
       frames = 1)
   }
 
+  /** Real multimodal decode: header-only dimension parse for the image
+    * container formats (graft.media.ImageHeaders — PNG/JPEG/GIF/BMP/
+    * TIFF, the reference's accepted upload types, backends/base.py:
+    * 202-209); document payloads (pdf/html) classify by magic with no
+    * dimensions. Replaces the round-1 `decodeStub` in the x46 kernel —
+    * the stub remains only as the SQL-projection analog used by q28.
+    */
+  def decodeMedia(url: String, payload: Array[Byte]): MediaMeta = {
+    graft.media.ImageHeaders.decode(payload) match {
+      case Some(d) =>
+        MediaMeta(url, payload.length.toLong, d.format, "image", d.width, d.height, 1)
+      case None =>
+        val n = if (payload == null) 0 else payload.length
+        val magic =
+          if (n >= 5 && new String(payload, 0, 5, java.nio.charset.StandardCharsets.ISO_8859_1) == "%PDF-") "pdf"
+          else if (n > 0 && (payload(0) == '<' || payload(0) == ' ')) "html"
+          else "bin"
+        MediaMeta(url, n.toLong, magic, if (magic == "bin") "binary" else "document", 0, 0, 0)
+    }
+  }
+
   val defs: Seq[Q] = Seq(
 
     // ---- Full extraction: classify → route → extract → compose, one
@@ -293,17 +314,26 @@ object PipelineOps {
       }, None),
 
     // ---- Multimodal binary kernel: opaque payload bytes → typed
-    // metadata via per-partition stub decoder.
+    // metadata via the per-partition header decoder (real container
+    // parsing, graft.media.ImageHeaders). Input is the page corpus
+    // UNIONed with a deterministic synthetic image table (PNG/JPEG/GIF/
+    // BMP/TIFF headers carrying true dimensions), so the image branch is
+    // exercised, not just classified.
     ("x46_multimodal_kernel",
       (s, _) => {
         import s.implicits._
-        pages(s, 1000)
+        val docs = pages(s, 1000)
           .select(col("url"), col("html")).as[(String, Array[Byte])]
-          .mapPartitions(_.map { case (u, b) => decodeStub(u, b) })
+        val imgs = s.range(0, 500).map { id =>
+          (s"img://media/$id", graft.media.MediaGen.imageFor(id)._2)
+        }
+        docs.union(imgs)
+          .mapPartitions(_.map { case (u, b) => decodeMedia(u, b) })
           .groupBy("magic", "media_kind")
           .agg(count(lit(1)).as("n"),
                sum("n_bytes").as("total_bytes"),
-               min("width").as("min_w"), max("height").as("max_h"))
+               min("width").as("min_w"), max("width").as("max_w"),
+               min("height").as("min_h"), max("height").as("max_h"))
           .orderBy("magic", "media_kind")
       }, None)
   )
