@@ -9,15 +9,20 @@ import graft.text.PyText
 
 /** Payload dispatch: `%PDF-` magic → PDF text-layer parse, else HTML
   * (the reference's `.pdf` suffix gate, service/main.py:434-435, becomes
-  * a payload-magic gate per SURVEY.md §2.1 S2).
+  * a payload-magic gate per SURVEY.md §2.1 S2). HTML bytes are decoded
+  * with WHATWG-style charset sniffing (BOM > in-body `<meta charset=…>`
+  * > UTF-8 fallback, graft.text.Charsets) — a meaningful fraction of
+  * crawl pages is windows-125x / Shift_JIS / GBK, which a hard-coded
+  * UTF-8 decode turns into mojibake. Transport (HTTP header) charset is
+  * honored upstream by the WARC reader, which normalizes disagreeing
+  * payloads to BOM-tagged UTF-8 (sources.Warc).
   */
 object DocParser {
   def parse(payload: Array[Byte]): Either[String, ParsedDoc] =
     if (payload == null || payload.isEmpty) Right(ParsedDoc(Vector.empty))
     else if (PdfParser.isPdf(payload)) PdfParser.parse(payload)
     else
-      try Right(BlockSegmenter.parseHtml(
-        new String(payload, java.nio.charset.StandardCharsets.UTF_8)))
+      try Right(BlockSegmenter.parseHtml(graft.text.Charsets.decode(payload)))
       catch { case e: Exception => Left(s"HTML parse error: ${e.getMessage}") }
 }
 

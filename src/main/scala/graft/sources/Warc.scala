@@ -28,8 +28,12 @@ object Warc {
   def write(pages: Seq[Page]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     pages.foreach { p =>
+      // No charset parameter: fixture pages self-describe their encoding
+      // (meta/BOM), and a transport claim that disagreed would make the
+      // reader's normalizeCharset transcode them — the round-trip must be
+      // byte-identical.
       val httpHead =
-        "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n"
+        "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
       val payload = httpHead.getBytes(ISO_8859_1) ++
         (if (p.html == null) Array.emptyByteArray else p.html)
       val date = Iso.format(java.time.Instant.ofEpochMilli(
@@ -102,7 +106,8 @@ object Warc {
         } else {
           if (tpe.equalsIgnoreCase("response") && url.nonEmpty) {
             val payload = java.util.Arrays.copyOfRange(bytes, j, (j + len).toInt)
-            val body = stripHttpHeaders(payload)
+            val (transportCharset, rawBody) = splitHttpPayload(payload)
+            val body = normalizeCharset(rawBody, transportCharset)
             val ts = try new Timestamp(java.time.Instant.from(Iso.parse(date)).toEpochMilli)
               catch { case _: Exception => new Timestamp(0L) }
             out += Page(url, ts, body, "", "")
@@ -117,22 +122,68 @@ object Warc {
   /** Strip the HTTP status line + headers from a response payload; a
     * payload that doesn't start with `HTTP/` is returned as-is.
     */
-  def stripHttpHeaders(payload: Array[Byte]): Array[Byte] = {
+  def stripHttpHeaders(payload: Array[Byte]): Array[Byte] =
+    splitHttpPayload(payload)._2
+
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([a-zA-Z0-9._\\-]+)")
+
+  /** Split an HTTP response payload into (Content-Type charset param,
+    * body). A payload that doesn't start with `HTTP/` is returned whole
+    * with no charset.
+    */
+  def splitHttpPayload(payload: Array[Byte]): (Option[String], Array[Byte]) = {
     if (payload.length < 5 ||
-        !new String(payload, 0, 5, ISO_8859_1).equals("HTTP/")) return payload
+        !new String(payload, 0, 5, ISO_8859_1).equals("HTTP/")) return (None, payload)
     // Find the first blank line (\r\n\r\n or \n\n).
     var i = 0
     val n = payload.length
     while (i < n) {
       if (payload(i) == '\n') {
-        if (i + 1 < n && payload(i + 1) == '\n')
-          return java.util.Arrays.copyOfRange(payload, i + 2, n)
-        if (i + 2 < n && payload(i + 1) == '\r' && payload(i + 2) == '\n')
-          return java.util.Arrays.copyOfRange(payload, i + 3, n)
+        val bodyStart =
+          if (i + 1 < n && payload(i + 1) == '\n') i + 2
+          else if (i + 2 < n && payload(i + 1) == '\r' && payload(i + 2) == '\n') i + 3
+          else -1
+        if (bodyStart > 0) {
+          val head = new String(payload, 0, i, ISO_8859_1)
+          val cs = head.split('\n').iterator.map(_.stripSuffix("\r"))
+            .find(_.toLowerCase.startsWith("content-type:"))
+            .flatMap { ct =>
+              val m = CharsetParam.matcher(ct)
+              if (m.find()) Some(m.group(1)) else None
+            }
+          return (cs, java.util.Arrays.copyOfRange(payload, bodyStart, n))
+        }
       }
       i += 1
     }
-    payload // headers never ended — treat whole payload as body
+    (None, payload) // headers never ended — treat whole payload as body
+  }
+
+  /** Charset normalization at the ingestion edge: when the TRANSPORT
+    * (HTTP Content-Type) charset makes the page decode differently than
+    * the payload alone would (BOM/meta/UTF-8 fallback — what the kernel
+    * sniffs downstream, graft.text.Charsets), the body is transcoded to
+    * UTF-8 and tagged with a UTF-8 BOM. The BOM has top sniffing
+    * priority (WHATWG), so a stale in-body `<meta charset=…>` from the
+    * original encoding can no longer cause a double-decode. Pages whose
+    * self-description already matches the transport pass through
+    * byte-identical.
+    */
+  def normalizeCharset(body: Array[Byte], transport: Option[String]): Array[Byte] = {
+    import graft.text.Charsets
+    if (body.isEmpty || graft.pdf.PdfParser.isPdf(body)) return body
+    val effective = Charsets.sniff(body, transport)
+    val selfSniff = Charsets.sniff(body, None)
+    if (effective == selfSniff) body
+    else {
+      val utf8 = Charsets.decode(body, transport)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val out = new Array[Byte](utf8.length + 3)
+      out(0) = 0xef.toByte; out(1) = 0xbb.toByte; out(2) = 0xbf.toByte
+      System.arraycopy(utf8, 0, out, 3, utf8.length)
+      out
+    }
   }
 
   /** Transparent gunzip: Common Crawl ships `.warc.gz` with one gzip

@@ -23,7 +23,7 @@ object PageGen {
     * stale cache from an older generator can never silently feed a
     * query or benchmark.
     */
-  val genVersion = 1
+  val genVersion = 2 // v2: non-UTF-8 article encoding variants (~4%)
 
   val NumHosts = 1000
   val ZipfS = 1.07
@@ -113,23 +113,52 @@ object PageGen {
     * by common boilerplate (nav/footer/related links) — the workhorse
     * family for boilerplate-stripping and dedup ops at scale.
     */
-  def articleHtml(seed: Long, id: Long, paraScale: Int = 1): Array[Byte] = {
+  def articleHtmlString(seed: Long, id: Long, paraScale: Int = 1,
+      metaCharset: String = "", extraSentence: String = ""): String = {
     val h0 = mix64(seed ^ mix64(id ^ 0x61727469636cL))
     val nPara = (2 + ((h0 >>> 7) % 4).toInt.abs) * paraScale
     val paras = (0 until nPara).map { p =>
       s"<p>${sentence(mix64(h0 ^ p), 14 + ((h0 >>> (p + 3)) % 9).toInt.abs)}</p>"
     }.mkString("\n")
     val title = sentence(mix64(h0 ^ 0x7469L), 5).dropRight(1)
-    (s"""<html><head><title>$title</title></head><body>
-        |<nav><ul><li><a href="/">Home</a></li><li><a href="/a">News</a></li><li><a href="/b">Archive</a></li></ul></nav>
-        |<article>
-        |<h1>$title</h1>
-        |$paras
-        |</article>
-        |<aside><ul><li><a href="/r1">Related one</a></li><li><a href="/r2">Related two</a></li></ul></aside>
-        |<footer><a href="/about">About</a> <a href="/terms">Terms</a></footer>
-        |</body></html>""".stripMargin).getBytes(UTF_8)
+    val meta = if (metaCharset.isEmpty) "" else s"""<meta charset="$metaCharset">"""
+    val extra = if (extraSentence.isEmpty) "" else s"\n<p>$extraSentence</p>"
+    s"""<html><head>$meta<title>$title</title></head><body>
+       |<nav><ul><li><a href="/">Home</a></li><li><a href="/a">News</a></li><li><a href="/b">Archive</a></li></ul></nav>
+       |<article>
+       |<h1>$title</h1>
+       |$paras$extra
+       |</article>
+       |<aside><ul><li><a href="/r1">Related one</a></li><li><a href="/r2">Related two</a></li></ul></aside>
+       |<footer><a href="/about">About</a> <a href="/terms">Terms</a></footer>
+       |</body></html>""".stripMargin
   }
+
+  def articleHtml(seed: Long, id: Long, paraScale: Int = 1): Array[Byte] =
+    articleHtmlString(seed, id, paraScale).getBytes(UTF_8)
+
+  /** Non-UTF-8 article variants (~4% of article content ids): the same
+    * generated article re-encoded in a legacy charset with an in-body
+    * `<meta charset=…>` declaration and one charset-exercising non-ASCII
+    * sentence — so the decode path (graft.text.Charsets meta sniffing)
+    * is part of the standard corpus, like real crawls. Keyed by CONTENT
+    * id, so duplicate-cluster members stay byte-identical and dedup
+    * ground truth is unchanged.
+    */
+  val Cp1252Sentence = "Straßenmaß über Gebühr — äöüß École."
+  val SjisSentence = "日本語のテスト文です。"
+
+  def encodingVariant(seed: Long, cid: Long): Int =
+    math.floorMod(mix64(seed ^ mix64(cid ^ 0x656e63L)), 50).toInt
+
+  def articleHtmlEncoded(seed: Long, id: Long, paraScale: Int, variant: Int): Array[Byte] =
+    variant match {
+      case 0 => articleHtmlString(seed, id, paraScale, "windows-1252", Cp1252Sentence)
+        .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+      case 1 => articleHtmlString(seed, id, paraScale, "shift_jis", SjisSentence)
+        .getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+      case _ => articleHtml(seed, id, paraScale)
+    }
 
   /** Exact-duplicate clusters: ~6% of rows replay the payload of the
     * cluster head (id rounded down to a multiple of 32) — gives the dedup
@@ -144,7 +173,7 @@ object PageGen {
     val cid = contentId(seed, id)
     val family = familyFor(seed, cid)
     val payload = family match {
-      case "article" => articleHtml(seed, cid, paraScale)
+      case "article" => articleHtmlEncoded(seed, cid, paraScale, encodingVariant(seed, cid))
       case f => Fixtures.families.find(_._1 == f).map(_._2).getOrElse(Fixtures.textSimpleHtml)
     }
     (family, payload)

@@ -35,6 +35,41 @@ class WarcSpec extends SparkSuite {
     assert(new String(Warc.stripHttpHeaders(lf.getBytes("UTF-8")), "UTF-8") == body)
   }
 
+  test("transport charset honored: cp1252 and Shift_JIS bodies extract byte-correct") {
+    val german = "Straßenmaß über Gebühr — äöüß École."
+    val jp = "日本語のテスト文です。"
+    def record(url: String, charset: String, body: Array[Byte]): Array[Byte] = {
+      val head = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset\r\n\r\n")
+        .getBytes("ISO-8859-1")
+      val payload = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $url\r\n" +
+        s"WARC-Date: 2023-11-14T22:13:20Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    // Body declares NO meta charset — only the HTTP header knows.
+    val cpBody = s"<html><body><article><p>$german</p></article></body></html>"
+      .getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    // Body declares a STALE meta (windows-1252) but transport says sjis —
+    // transport must win, and the normalized page must not double-decode.
+    val sjBody = (s"""<html><head><meta charset="windows-1252"></head>""" +
+      s"<body><article><p>$jp</p></article></body></html>")
+      .getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    val parsed = Warc.parse(
+      record("https://de.example/a", "windows-1252", cpBody) ++
+      record("https://jp.example/b", "shift_jis", sjBody))
+    assert(parsed.length == 2)
+    val proc = graft.extract.Processor.default
+    val rDe = proc.extract(parsed(0), "accurate")
+    assert(rDe.text.contains(german), rDe.text.take(200))
+    val rJp = proc.extract(parsed(1), "accurate")
+    assert(rJp.text.contains(jp), rJp.text.take(200))
+    assert(!rDe.text.contains("�") && !rJp.text.contains("�"))
+    // A plain UTF-8 page with matching transport passes through byte-identical.
+    val utf8Body = "<html><body><p>plain</p></body></html>".getBytes("UTF-8")
+    val p3 = Warc.parse(record("https://c.example/c", "utf-8", utf8Body))
+    assert(java.util.Arrays.equals(p3(0).html, utf8Body))
+  }
+
   test("non-response records and malformed garbage are skipped") {
     val good = Warc.write(Seq(page("https://a.example/x", "<p>keep</p>")))
     val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
