@@ -44,8 +44,26 @@ object PdfParser {
     try {
       if (!isPdf(bytes)) return Left("not a PDF: missing %PDF- header")
       val s = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
-      val objs = scanObjects(s)
-      if (objs.isEmpty) return Left("no PDF objects found")
+      val topObjs = scanObjects(s)
+      if (topObjs.isEmpty) return Left("no PDF objects found")
+
+      // Encrypted files: strings/streams are ciphertext — refuse loudly
+      // (honest error beats silent garbage; reference relies on PyMuPDF's
+      // decryption, out of the deterministic rebuild's scope). /Encrypt
+      // appears in the classic trailer dict or the xref-stream dict.
+      val encrypted = {
+        val trailerHasIt = Option(s.lastIndexOf("trailer")).filter(_ >= 0).exists { tpos =>
+          parseValueAt(s, s.indexOf("<<", tpos)).collect { case (d: PDict, _) => d }
+            .exists(_.v.contains("Encrypt"))
+        }
+        trailerHasIt || topObjs.values.exists(o =>
+          o.dict.v.get("Type").contains(PName("XRef")) && o.dict.v.contains("Encrypt"))
+      }
+      if (encrypted) return Left("encrypted PDF not supported")
+
+      // PDF 1.5+: objects may live inside compressed object streams
+      // (/Type /ObjStm) — invisible to the byte scan until inflated.
+      val objs = expandObjectStreams(topObjs)
 
       def deref(v: PVal): PVal = v match {
         case PRef(n) => objs.get(n).map(_.dict).getOrElse(PNull) match {
@@ -364,31 +382,94 @@ object PdfParser {
   // ---- Streams ----------------------------------------------------------
 
   private def decodedStream(obj: PObj, objs: Map[Int, PObj]): Option[Array[Byte]] =
-    obj.stream.map { raw =>
-      obj.dict.v.get("Filter") match {
-        case Some(PName("FlateDecode")) => inflate(raw)
-        case Some(PArr(fs)) if fs.contains(PName("FlateDecode")) => inflate(raw)
-        case _ => raw
+    obj.stream.map(raw => applyFilters(raw, obj.dict))
+
+  /** Apply a stream's full filter chain in declaration order, honoring
+    * per-filter /DecodeParms (PNG predictors for Flate/LZW — the xref-
+    * stream convention — and LZW /EarlyChange). Image-only filters
+    * (DCTDecode, JPXDecode, CCITTFaxDecode, JBIG2Decode) pass through raw:
+    * the text layer never needs pixel data.
+    */
+  def applyFilters(raw: Array[Byte], dict: PDict): Array[Byte] = {
+    val filters: Vector[String] = dict.v.get("Filter") match {
+      case Some(PName(f)) => Vector(f)
+      case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+      case _ => Vector.empty
+    }
+    val parms: Vector[Option[PDict]] =
+      dict.v.get("DecodeParms").orElse(dict.v.get("DP")) match {
+        case Some(d: PDict) => Vector(Some(d))
+        case Some(PArr(ps)) => ps.map { case d: PDict => Some(d); case _ => None }
+        case _ => Vector.empty
+      }
+    def num(p: Option[PDict], key: String, default: Int): Int =
+      p.flatMap(_.v.get(key)).collect { case PNum(v) => v.toInt }.getOrElse(default)
+    filters.zipWithIndex.foldLeft(raw) { case (data, (f, i)) =>
+      val parm = parms.lift(i).flatten
+      val decoded = f match {
+        case "FlateDecode" | "Fl" => inflate(data)
+        case "LZWDecode" | "LZW" => PdfFilters.lzwDecode(data, num(parm, "EarlyChange", 1))
+        case "ASCIIHexDecode" | "AHx" => PdfFilters.asciiHexDecode(data)
+        case "ASCII85Decode" | "A85" => PdfFilters.ascii85Decode(data)
+        case "RunLengthDecode" | "RL" => PdfFilters.runLengthDecode(data)
+        case _ => data
+      }
+      val predictor = num(parm, "Predictor", 1)
+      if (predictor >= 10 && (f.startsWith("Flate") || f.startsWith("LZW") ||
+          f == "Fl" || f == "LZW"))
+        PdfFilters.pngUnpredict(decoded, num(parm, "Columns", 1),
+          num(parm, "Colors", 1), num(parm, "BitsPerComponent", 8))
+      else decoded
+    }
+  }
+
+  def inflate(data: Array[Byte]): Array[Byte] = PdfFilters.inflate(data)
+
+  /** Expand `/Type /ObjStm` object streams (PDF 1.5+): decode the
+    * stream, read the `N` (objnum, offset) integer pairs from its head,
+    * then parse each contained object at `First + offset`. Contained
+    * objects never carry streams (spec). Top-level definitions win on
+    * number collisions (a later incremental update would be top-level).
+    */
+  private def expandObjectStreams(objs: Map[Int, PObj]): Map[Int, PObj] = {
+    val extra = HashMap[Int, PObj]()
+    objs.values.foreach { o =>
+      if (o.dict.v.get("Type").contains(PName("ObjStm")) && o.stream.isDefined) {
+        try {
+          val data = applyFilters(o.stream.get, o.dict)
+          val es = new String(data, java.nio.charset.StandardCharsets.ISO_8859_1)
+          val n = o.dict.v.get("N").collect { case PNum(v) => v.toInt }.getOrElse(0)
+          val first = o.dict.v.get("First").collect { case PNum(v) => v.toInt }.getOrElse(0)
+          var p = 0
+          var k = 0
+          val pairs = ArrayBuffer[(Int, Int)]()
+          while (k < n && p < es.length) {
+            val (numV, p1) = readInt(es, p)
+            val (offV, p2) = readInt(es, p1)
+            if (numV < 0 || offV < 0) { k = n } // malformed header: stop
+            else { pairs += ((numV, offV)); p = p2; k += 1 }
+          }
+          pairs.foreach { case (objNum, off) =>
+            if (first + off < es.length && !extra.contains(objNum)) {
+              parseValueAt(es, first + off).foreach {
+                case (d: PDict, _) => extra(objNum) = PObj(d, None)
+                case (v, _) => extra(objNum) = PObj(PDict(Map.empty), None)
+              }
+            }
+          }
+        } catch { case _: Exception => /* skip malformed ObjStm */ }
       }
     }
+    extra.toMap ++ objs // top-level wins
+  }
 
-  def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
-    inf.setInput(data)
-    val out = new java.io.ByteArrayOutputStream(data.length * 4 + 64)
-    val buf = new Array[Byte](8192)
-    try {
-      val maxIters = 1 << 20
-      var guard = 0
-      while (!inf.finished() && guard < maxIters) {
-        val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) guard = maxIters // truncated
-        else out.write(buf, 0, n)
-        guard += 1
-      }
-    } catch { case _: Exception => /* partial output is fine */ }
-    finally inf.end()
-    out.toByteArray
+  /** Read one nonnegative integer at/after p; (-1, p+1) if none. */
+  private def readInt(s: String, p0: Int): (Int, Int) = {
+    val p = skipWs(s, p0)
+    var q = p
+    while (q < s.length && s.charAt(q).isDigit) q += 1
+    if (q == p) (-1, p + 1)
+    else (try s.substring(p, q).toInt catch { case _: Exception => -1 }, q)
   }
 
   // ---- Content stream → blocks ------------------------------------------

@@ -47,6 +47,23 @@ object PdfWriter {
   private def latin1(s: String): Array[Byte] =
     s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
 
+  /** Encode a content stream with the named filter (or chain). The
+    * Filter ARRAY lists decode order, so chain encoding runs in reverse.
+    */
+  def encodeContent(raw: Array[Byte], filter: String): (Array[Byte], String) = filter match {
+    case "none" => (raw, "")
+    case "flate" => (deflate(raw), " /Filter /FlateDecode")
+    case "lzw" => (PdfFilters.lzwEncode(raw), " /Filter /LZWDecode")
+    case "ahx" => (PdfFilters.asciiHexEncode(raw), " /Filter /ASCIIHexDecode")
+    case "a85" => (PdfFilters.ascii85Encode(raw), " /Filter /ASCII85Decode")
+    case "rl" => (PdfFilters.runLengthEncode(raw), " /Filter /RunLengthDecode")
+    case "ahx+flate" =>
+      (PdfFilters.asciiHexEncode(deflate(raw)), " /Filter [/ASCIIHexDecode /FlateDecode]")
+    case "a85+lzw" =>
+      (PdfFilters.ascii85Encode(PdfFilters.lzwEncode(raw)), " /Filter [/ASCII85Decode /LZWDecode]")
+    case other => throw new IllegalArgumentException(s"unknown content filter: $other")
+  }
+
   /** Build a complete PDF from page specs. */
   def build(pages: Seq[PageSpec], compress: Boolean = true): Array[Byte] = {
     // Object numbering: 1 catalog, 2 pages-tree, 3 font, then per page:
@@ -136,6 +153,151 @@ object PdfWriter {
     }
     out.write(latin1(
       s"trailer\n<< /Size $nextObj /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  /** Build the SAME document in PDF 1.5+ form: all non-stream objects
+    * (catalog, page tree, font, page dicts) packed into one compressed
+    * `/Type /ObjStm` object stream; cross references emitted as a
+    * `/Type /XRef` STREAM (W [1 3 2], type-2 entries pointing into the
+    * ObjStm) Flate-compressed under a PNG-up predictor — the layout the
+    * majority of real crawl PDFs use, and exactly what the classic-only
+    * round-1 parser could not read. `contentFilter` selects the content
+    * streams' encoding (flate/lzw/ahx/a85/rl or a two-filter chain), so
+    * every decoder in `PdfFilters` has a writer-side fixture.
+    */
+  def buildXrefStream(pages: Seq[PageSpec], contentFilter: String = "flate"): Array[Byte] = {
+    // Numbering mirrors build(): 1 catalog, 2 pages-tree, 3 font, then
+    // per page (page obj, contents obj, image objs); finally S (ObjStm)
+    // and X (xref stream).
+    var nextObj = 4
+    val pageObjNums = scala.collection.mutable.ArrayBuffer[Int]()
+    val pageBodies = pages.map { spec =>
+      val pageNum = nextObj; nextObj += 1
+      val contentsNum = nextObj; nextObj += 1
+      val imageNums = spec.imageAlts.map { _ => val n = nextObj; nextObj += 1; n }
+      pageObjNums += pageNum
+      (pageNum, contentsNum, imageNums, spec)
+    }
+    val objStmNum = nextObj; nextObj += 1
+    val xrefNum = nextObj; nextObj += 1
+
+    // Top-level stream objects: contents (+ images).
+    val topLevel = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    // ObjStm members: (objNum, dict body string) — streams are not
+    // allowed inside an ObjStm, everything else goes in.
+    val members = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+    members += ((1, "<< /Type /Catalog /Pages 2 0 R >>"))
+    members += ((2,
+      s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] " +
+      s"/Count ${pageObjNums.length} >>"))
+    members += ((3,
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"))
+
+    pageBodies.foreach { case (pageNum, contentsNum, imageNums, spec) =>
+      val sb = new java.lang.StringBuilder()
+      var y = 720
+      spec.textBlocks.foreach { t =>
+        sb.append("BT\n/F1 12 Tf\n72 ").append(y).append(" Td\n")
+        val lines = t.split("\n", -1)
+        var first = true
+        lines.foreach { line =>
+          if (!first) sb.append("0 -14 Td\n")
+          sb.append('(').append(escapeString(line)).append(") Tj\n")
+          first = false
+        }
+        sb.append("ET\n")
+        y -= 20 * lines.length
+      }
+      imageNums.zipWithIndex.foreach { case (_, i) =>
+        sb.append("q\n100 0 0 100 72 ").append(300 - i * 110).append(" cm\n/Im")
+          .append(i + 1).append(" Do\nQ\n")
+      }
+      val (data, filter) = encodeContent(latin1(sb.toString), contentFilter)
+      val contents = new ByteArrayOutputStream()
+      contents.write(latin1(s"<< /Length ${data.length}$filter >>\nstream\n"))
+      contents.write(data)
+      contents.write(latin1("\nendstream"))
+      topLevel += ((contentsNum, contents.toByteArray))
+
+      val xobjEntries = imageNums.zipWithIndex
+        .map { case (num, i) => s"/Im${i + 1} $num 0 R" }.mkString(" ")
+      val xobj = if (imageNums.nonEmpty) s" /XObject << $xobjEntries >>" else ""
+      members += ((pageNum,
+        s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >>$xobj >> /Contents $contentsNum 0 R >>"))
+
+      imageNums.zip(spec.imageAlts).foreach { case (num, alt) =>
+        val img = new ByteArrayOutputStream()
+        img.write(latin1(
+          s"<< /Type /XObject /Subtype /Image /Width 1 /Height 1 " +
+          s"/ColorSpace /DeviceGray /BitsPerComponent 8 " +
+          s"/Alt (${escapeString(alt)}) /Length 1 >>\nstream\n"))
+        img.write(0)
+        img.write(latin1("\nendstream"))
+        topLevel += ((num, img.toByteArray))
+      }
+    }
+
+    // Assemble the ObjStm: header of (num offset) pairs, then bodies.
+    val sortedMembers = members.sortBy(_._1).toVector
+    val bodyParts = sortedMembers.map(_._2)
+    val offsetsInStm = bodyParts.scanLeft(0)((acc, b) => acc + b.length + 1).init
+    val header = sortedMembers.zip(offsetsInStm)
+      .map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val stmPlain = latin1(header.drop(0) + bodyParts.mkString("\n") + "\n")
+    val first = header.length
+    val stmData = deflate(stmPlain)
+    val objStmBody = {
+      val o = new ByteArrayOutputStream()
+      o.write(latin1(s"<< /Type /ObjStm /N ${sortedMembers.length} /First $first " +
+        s"/Length ${stmData.length} /Filter /FlateDecode >>\nstream\n"))
+      o.write(stmData)
+      o.write(latin1("\nendstream"))
+      o.toByteArray
+    }
+
+    // Serialize: header, top-level stream objects, ObjStm, xref stream.
+    val out = new ByteArrayOutputStream(4096)
+    out.write(latin1("%PDF-1.5\n"))
+    val offsets = new Array[Long](nextObj)
+    (topLevel += ((objStmNum, objStmBody))).sortBy(_._1).foreach { case (num, body) =>
+      offsets(num) = out.size().toLong
+      out.write(latin1(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(latin1("\nendobj\n"))
+    }
+
+    // Xref stream rows, W [1 3 2]: type 0 = free, 1 = (offset, gen→0),
+    // 2 = (objstm number, index within it).
+    val memberIndex: Map[Int, Int] =
+      sortedMembers.zipWithIndex.map { case ((num, _), i) => num -> i }.toMap
+    val xrefPos = out.size()
+    offsets(xrefNum) = xrefPos.toLong
+    val rowLen = 6
+    val rows = new ByteArrayOutputStream(nextObj * rowLen)
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      rows.write(t)
+      rows.write(((f2 >> 16) & 0xff).toInt); rows.write(((f2 >> 8) & 0xff).toInt)
+      rows.write((f2 & 0xff).toInt)
+      rows.write((f3 >> 8) & 0xff); rows.write(f3 & 0xff)
+    }
+    (0 until nextObj).foreach { n =>
+      if (n == 0) row(0, 0, 0xffff)
+      else memberIndex.get(n) match {
+        case Some(idx) => row(2, objStmNum.toLong, idx)
+        case None => row(1, offsets(n), 0)
+      }
+    }
+    val predicted = PdfFilters.pngPredictUp(rows.toByteArray, rowLen)
+    val xrefData = deflate(predicted)
+    out.write(latin1(s"$xrefNum 0 obj\n<< /Type /XRef /Size $nextObj /Root 1 0 R " +
+      s"/W [1 3 2] /Index [0 $nextObj] /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xrefData.length} >>\nstream\n"))
+    out.write(xrefData)
+    out.write(latin1("\nendstream\nendobj\n"))
+    out.write(latin1(s"startxref\n$xrefPos\n%%EOF\n"))
     out.toByteArray
   }
 }

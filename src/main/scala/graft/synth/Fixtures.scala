@@ -106,37 +106,63 @@ object Fixtures {
   val corruptedPdf: Array[Byte] = "%PDF-Not a valid PDF".getBytes(UTF_8)
 
   // --- PDF families (via PdfWriter) ----------------------------------------
+  // PageSpec seqs exposed so the scale generator can re-emit the SAME
+  // documents in the PDF 1.5+ layout (xref stream + ObjStm, varied
+  // content filters) — identical extracted text, different container.
 
-  val textSimplePdf: Array[Byte] = PdfWriter.build(Seq(PageSpec(textBlocks = Seq(
+  val textSimplePdfSpec: Seq[PageSpec] = Seq(PageSpec(textBlocks = Seq(
     "Sample text content for extraction testing purposes here.",
     "This document contains multiple paragraphs of readable text.",
-    "Additional content to clear the text block threshold easily."))))
+    "Additional content to clear the text block threshold easily.")))
+  val textSimplePdf: Array[Byte] = PdfWriter.build(textSimplePdfSpec)
 
-  val imageOnlyPdf: Array[Byte] = PdfWriter.build(Seq(PageSpec(
-    imageAlts = Seq("Scanned invoice page with payment details and the total amount due"))))
+  val imageOnlyPdfSpec: Seq[PageSpec] = Seq(PageSpec(
+    imageAlts = Seq("Scanned invoice page with payment details and the total amount due")))
+  val imageOnlyPdf: Array[Byte] = PdfWriter.build(imageOnlyPdfSpec)
 
-  val hybrid2pPdf: Array[Byte] = PdfWriter.build(Seq(
+  val hybrid2pPdfSpec: Seq[PageSpec] = Seq(
     PageSpec(textBlocks = Seq(
       "This is text content on page 1",
       "More text here for detection",
       "Additional content line")),
-    PageSpec(imageAlts = Seq("Architecture diagram showing the data flow between services"))))
+    PageSpec(imageAlts = Seq("Architecture diagram showing the data flow between services")))
+  val hybrid2pPdf: Array[Byte] = PdfWriter.build(hybrid2pPdfSpec)
 
   val emptyPdf: Array[Byte] = PdfWriter.build(Seq(PageSpec()))
 
-  def multipagePdf(n: Int): Array[Byte] = PdfWriter.build((1 to n).map { i =>
+  def multipagePdfSpec(n: Int): Seq[PageSpec] = (1 to n).map { i =>
     PageSpec(textBlocks = Seq(
       s"Page $i content with some test words inside",
       s"Second paragraph on page $i for threshold",
       s"Third line of page $i closes the page"))
-  })
+  }
+  def multipagePdf(n: Int): Array[Byte] = PdfWriter.build(multipagePdfSpec(n))
 
-  val germanInvoicePdf: Array[Byte] = PdfWriter.build(Seq(PageSpec(textBlocks = Seq(
+  val germanInvoicePdfSpec: Seq[PageSpec] = Seq(PageSpec(textBlocks = Seq(
     "Rechnung Nr. 2024-001",
     "Müller & Söhne GmbH — Büroausstattung",
     "Nettobetrag: 1.000,00 EUR",
     "MwSt. (19%): 190,00 EUR",
-    "Gesamtbetrag: 1.190,00 EUR — zahlbar binnen 14 Tagen ohne Abzüge"))))
+    "Gesamtbetrag: 1.190,00 EUR — zahlbar binnen 14 Tagen ohne Abzüge")))
+  val germanInvoicePdf: Array[Byte] = PdfWriter.build(germanInvoicePdfSpec)
+
+  /** Family name → PageSpec seq, for the modern-layout re-emission. */
+  val pdfSpecs: Map[String, Seq[PageSpec]] = Map(
+    "text_simple_pdf" -> textSimplePdfSpec,
+    "image_only_pdf" -> imageOnlyPdfSpec,
+    "hybrid_2p_pdf" -> hybrid2pPdfSpec,
+    "multipage_3_pdf" -> multipagePdfSpec(3),
+    "german_invoice_pdf" -> germanInvoicePdfSpec)
+
+  /** The same PDF documents in the 1.5+ layout (xref stream + ObjStm)
+    * under five content-filter variants — cached once per JVM so the
+    * scale generator stays allocation-cheap per row.
+    */
+  lazy val modernPdfVariants: Map[String, Vector[Array[Byte]]] =
+    pdfSpecs.map { case (name, spec) =>
+      name -> Vector("flate", "lzw", "ahx+flate", "a85+lzw", "rl")
+        .map(f => PdfWriter.buildXrefStream(spec, contentFilter = f))
+    }
 
   /** Family name → payload, for the scale generator. */
   val families: Vector[(String, Array[Byte])] = Vector(

@@ -23,7 +23,9 @@ object PageGen {
     * stale cache from an older generator can never silently feed a
     * query or benchmark.
     */
-  val genVersion = 2 // v2: non-UTF-8 article encoding variants (~4%)
+  // v2: non-UTF-8 article encoding variants (~4%);
+  // v3: PDF 1.5+ xref-stream/ObjStm container variants (50% of PDFs)
+  val genVersion = 3
 
   val NumHosts = 1000
   val ZipfS = 1.07
@@ -174,6 +176,14 @@ object PageGen {
     val family = familyFor(seed, cid)
     val payload = family match {
       case "article" => articleHtmlEncoded(seed, cid, paraScale, encodingVariant(seed, cid))
+      // PDF families: half the content ids re-emit the SAME document in
+      // the PDF 1.5+ layout (xref stream + ObjStm, rotating content
+      // filters) — the majority container shape of real crawls. Keyed by
+      // content id so dup clusters stay byte-identical.
+      case f if f.endsWith("_pdf") && Fixtures.modernPdfVariants.contains(f) =>
+        val v = math.floorMod(mix64(seed ^ mix64(cid ^ 0x706466L)), 10).toInt
+        if (v < 5) Fixtures.modernPdfVariants(f)(v)
+        else Fixtures.families.find(_._1 == f).map(_._2).getOrElse(Fixtures.textSimpleHtml)
       case f => Fixtures.families.find(_._1 == f).map(_._2).getOrElse(Fixtures.textSimpleHtml)
     }
     (family, payload)

@@ -83,4 +83,111 @@ class PdfSpec extends AnyFunSuite {
     val blocks = PdfParser.parseContent(content, Map.empty)
     assert(blocks.map(_.text) == Vector("Hello"))
   }
+
+  // ---- PDF 1.5+ (xref streams + object streams) and filter breadth ------
+
+  private val richSpec = Seq(
+    PageSpec(textBlocks = Seq("first block with ümlaut ß", "second (with) parens\nand a second line")),
+    PageSpec(textBlocks = Seq("page two text"), imageAlts = Seq("an image alt description")),
+    PageSpec())
+
+  test("xref-stream/ObjStm layout parses identically to classic layout") {
+    val classic = PdfParser.parse(PdfWriter.build(richSpec)).toOption.get
+    val modern = PdfParser.parse(PdfWriter.buildXrefStream(richSpec)).toOption.get
+    assert(modern.totalPages == classic.totalPages)
+    modern.pages.zip(classic.pages).foreach { case (m, c) =>
+      assert(m.blocks.map(b => (b.tpe, b.text, b.alt)) ==
+             c.blocks.map(b => (b.tpe, b.text, b.alt)))
+    }
+  }
+
+  test("every content filter round-trips (lzw, ahx, a85, rl, chains)") {
+    val classic = PdfParser.parse(PdfWriter.build(richSpec)).toOption.get
+    Seq("none", "flate", "lzw", "ahx", "a85", "rl", "ahx+flate", "a85+lzw").foreach { f =>
+      val doc = PdfParser.parse(PdfWriter.buildXrefStream(richSpec, contentFilter = f))
+        .toOption.get
+      assert(doc.totalPages == classic.totalPages, s"filter=$f")
+      doc.pages.zip(classic.pages).foreach { case (m, c) =>
+        assert(m.blocks.map(_.text) == c.blocks.map(_.text), s"filter=$f")
+      }
+    }
+  }
+
+  test("filter codecs: decode∘encode == identity (seeded fuzz)") {
+    import graft.pdf.PdfFilters._
+    val rnd = new scala.util.Random(0xF11E)
+    (1 to 60).foreach { rep =>
+      // Mix of compressible (repeated runs) and random content.
+      val n = rnd.nextInt(5000)
+      val data = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        if (rnd.nextInt(4) == 0) {
+          val b = rnd.nextInt().toByte
+          val run = math.min(n - i, 1 + rnd.nextInt(300))
+          java.util.Arrays.fill(data, i, i + run, b); i += run
+        } else { data(i) = rnd.nextInt().toByte; i += 1 }
+      }
+      assert(java.util.Arrays.equals(asciiHexDecode(asciiHexEncode(data)), data), s"ahx rep$rep")
+      assert(java.util.Arrays.equals(ascii85Decode(ascii85Encode(data)), data), s"a85 rep$rep")
+      assert(java.util.Arrays.equals(runLengthDecode(runLengthEncode(data)), data), s"rl rep$rep")
+      assert(java.util.Arrays.equals(lzwDecode(lzwEncode(data)), data), s"lzw rep$rep")
+      assert(java.util.Arrays.equals(inflate(deflate(data)), data), s"flate rep$rep")
+    }
+    // LZW dictionary growth across the 9→10→11→12-bit boundaries needs
+    // >4096 distinct sequences: a long low-entropy pattern forces it.
+    val big = Array.tabulate[Byte](200000)(i => ((i * 31 + i / 7) & 0xff).toByte)
+    assert(java.util.Arrays.equals(lzwDecode(lzwEncode(big)), big), "lzw big")
+  }
+
+  test("png predictor: up-predicted rows unpredict to original") {
+    import graft.pdf.PdfFilters._
+    val rnd = new scala.util.Random(42)
+    Seq(1, 5, 6, 16).foreach { cols =>
+      val rows = 17
+      val data = Array.fill[Byte](cols * rows)(rnd.nextInt().toByte)
+      assert(java.util.Arrays.equals(pngUnpredict(pngPredictUp(data, cols), cols), data),
+        s"cols=$cols")
+    }
+  }
+
+  test("encrypted PDF returns an explicit error, not garbage") {
+    val classic = PdfWriter.build(Seq(PageSpec(textBlocks = Seq("secret"))))
+    val s = new String(classic, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val withEncrypt = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+    val res = PdfParser.parse(withEncrypt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(res == Left("encrypted PDF not supported"))
+  }
+
+  test("corpus golden: modern-layout PDFs extract byte-identically to classic") {
+    val proc = graft.extract.Processor.default
+    def extractOf(bytes: Array[Byte]) = proc.extract(
+      graft.model.Page("https://t.example/p", new java.sql.Timestamp(0L), bytes, "", "en"),
+      "balanced")
+    Fixtures.pdfSpecs.keys.foreach { fam =>
+      val classic = extractOf(Fixtures.families.find(_._1 == fam).get._2)
+      Fixtures.modernPdfVariants(fam).zipWithIndex.foreach { case (bytes, v) =>
+        val modern = extractOf(bytes)
+        assert(modern.text == classic.text, s"$fam variant $v")
+        assert(modern.pdf_type == classic.pdf_type, s"$fam variant $v")
+        assert(modern.word_count == classic.word_count, s"$fam variant $v")
+      }
+    }
+  }
+
+  test("malformed ObjStm / xref stream degrade, never throw") {
+    val modern = PdfWriter.buildXrefStream(richSpec)
+    val s = new String(modern, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // Corrupt the ObjStm's compressed bytes: parser should skip it and
+    // still not throw (pages may be lost — that is the degraded result).
+    val broken = modern.clone()
+    val stmAt = s.indexOf("/Type /ObjStm")
+    val dataAt = s.indexOf("stream\n", stmAt) + 7
+    (0 until 16).foreach(i => broken(dataAt + i) = 0x55)
+    PdfParser.parse(broken) // must not throw
+    // Truncations at every region.
+    Seq(10, 100, modern.length / 2, modern.length - 5).foreach { cut =>
+      PdfParser.parse(java.util.Arrays.copyOfRange(modern, 0, cut))
+    }
+  }
 }
