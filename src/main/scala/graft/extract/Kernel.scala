@@ -2,7 +2,7 @@ package graft.extract
 
 import graft.boiler.Boilerplate
 import graft.classify.Detector
-import graft.html.BlockSegmenter
+import graft.html.{BlockSegmenter, StreamSegmenter}
 import graft.model._
 import graft.pdf.PdfParser
 import graft.text.PyText
@@ -22,7 +22,9 @@ object DocParser {
     if (payload == null || payload.isEmpty) Right(ParsedDoc(Vector.empty))
     else if (PdfParser.isPdf(payload)) PdfParser.parse(payload)
     else
-      try Right(BlockSegmenter.parseHtml(graft.text.Charsets.decode(payload)))
+      // StreamSegmenter == BlockSegmenter.parseHtml output (differential
+      // spec), minus the DOM materialization (~20% of kernel CPU).
+      try Right(StreamSegmenter.parseHtml(graft.text.Charsets.decode(payload)))
       catch { case e: Exception => Left(s"HTML parse error: ${e.getMessage}") }
 }
 

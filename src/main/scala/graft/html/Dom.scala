@@ -21,8 +21,11 @@ object Dom {
   val voidTags = Set("area", "base", "br", "col", "embed", "hr", "img",
     "input", "link", "meta", "param", "source", "track", "wbr")
 
-  /** Openers that implicitly close an open element of the given tags. */
-  private val autoClose: Map[String, Set[String]] = Map(
+  /** Openers that implicitly close an open element of the given tags.
+    * (Shared with StreamSegmenter, which replays these rules without
+    * materializing the tree.)
+    */
+  val autoClose: Map[String, Set[String]] = Map(
     "p" -> Set("p"),
     "li" -> Set("li"),
     "dt" -> Set("dt", "dd"),

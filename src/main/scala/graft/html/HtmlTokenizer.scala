@@ -85,8 +85,11 @@ object HtmlTokenizer {
     else s.substring(from, until).toLowerCase
   }
 
-  /** Tokenize a whole HTML string. Returns a flat token stream. */
-  def tokenize(html: String): Vector[HtmlToken] = {
+  /** Tokenize a whole HTML string. Returns a flat token stream (the
+    * backing buffer directly — no defensive copy; callers iterate once
+    * on the per-document hot path).
+    */
+  def tokenize(html: String): scala.collection.IndexedSeq[HtmlToken] = {
     val out = new ArrayBuffer[HtmlToken](256)
     val n = html.length
     var i = 0
@@ -192,7 +195,7 @@ object HtmlTokenizer {
       } else i += 1
     }
     flushText(n)
-    out.toVector
+    out
   }
 
   private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {

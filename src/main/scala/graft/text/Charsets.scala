@@ -60,14 +60,32 @@ object Charsets {
     java.util.regex.Pattern.compile(
       """(?i)<meta[^>]*?charset\s*=\s*["']?\s*([a-zA-Z0-9._\-]+)""")
 
+  /** Cheap byte-level scan for the ASCII token "charset" in the first
+    * `limit` bytes — the hot-path gate that lets the overwhelming
+    * majority of pages (no declaration) skip the String + regex work.
+    */
+  private def hasCharsetToken(b: Array[Byte], limit: Int): Boolean = {
+    val n = math.min(b.length, limit)
+    var i = 0
+    while (i + 7 <= n) {
+      // match "charset" case-insensitively at i
+      if ((b(i) | 0x20) == 'c' && (b(i + 1) | 0x20) == 'h' && (b(i + 2) | 0x20) == 'a' &&
+          (b(i + 3) | 0x20) == 'r' && (b(i + 4) | 0x20) == 's' && (b(i + 5) | 0x20) == 'e' &&
+          (b(i + 6) | 0x20) == 't') return true
+      i += 1
+    }
+    false
+  }
+
   /** In-body declaration: scan the first `limit` bytes (decoded
     * ASCII-compatibly) for `<meta charset=…>` or the `http-equiv`
     * `content="…; charset=…"` form — the single regex covers both since
-    * each carries a literal `charset=` token.
+    * each carries a literal `charset=` token. A byte-level pre-scan
+    * keeps the no-declaration common case regex-free.
     */
   def metaCharset(b: Array[Byte], limit: Int = 1024): Option[Charset] = {
     val n = math.min(b.length, limit)
-    if (n == 0) return None
+    if (n == 0 || !hasCharsetToken(b, limit)) return None
     val prefix = new String(b, 0, n, StandardCharsets.ISO_8859_1)
     val m = MetaCharset.matcher(prefix)
     if (m.find()) forLabel(m.group(1)) else None

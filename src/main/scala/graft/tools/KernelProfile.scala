@@ -33,8 +33,11 @@ object KernelProfile {
     time("dom build") {
       var i = 0; while (i < n) { graft.html.Dom.parse(htmlStrings(i)); i += 1 }
     }
-    time("segment (full html path)") {
+    time("segment (dom path)") {
       var i = 0; while (i < n) { graft.html.BlockSegmenter.parseHtml(htmlStrings(i)); i += 1 }
+    }
+    time("segment (stream path)") {
+      var i = 0; while (i < n) { graft.html.StreamSegmenter.parseHtml(htmlStrings(i)); i += 1 }
     }
     time("parse (tokenize+DOM)") {
       var i = 0; while (i < n) { DocParser.parse(payloads(i).html); i += 1 }
@@ -52,6 +55,20 @@ object KernelProfile {
     }
     time("extract (fast)") {
       var i = 0; while (i < n) { proc.extract(payloads(i), "fast"); i += 1 }
+    }
+
+    // Per-family cost attribution (where does the corpus's µs/doc go?).
+    val byFamily = payloads.zipWithIndex
+      .groupBy { case (_, i) => PageGen.familyFor(42L, PageGen.contentId(42L, i.toLong)) }
+    byFamily.toSeq.sortBy(_._1).foreach { case (fam, rowsIdx) =>
+      val rows = rowsIdx.map(_._1)
+      val m = rows.length
+      def f(): Unit = { var i = 0; while (i < m) { proc.extract(rows(i), "balanced"); i += 1 } }
+      f()
+      val best = (1 to 3).map { _ => val t0 = System.nanoTime(); f(); System.nanoTime() - t0 }.min
+      val perDoc = best.toDouble / m
+      val share = perDoc * m / n
+      println(f"[family] $fam%-20s ${perDoc / 1000}%8.2f µs/doc  n=$m%-6d  weighted ${share / 1000}%6.2f µs")
     }
   }
 }

@@ -128,6 +128,22 @@ class QueryOpsSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), plan)
   }
 
+  test("plan: q24 self-join reuses one signature exchange (final adaptive plan)") {
+    // The expensive shingle→minhash signature pipeline must run ONCE:
+    // both self-join sides repartition on the same keys, and AQE's
+    // ReuseExchange dedups the identical subtree. Executing first makes
+    // the FINAL adaptive plan inspectable (isFinalPlan=true) — a
+    // regression here silently doubles q24's cost.
+    // collect() (not .write, which re-plans a separate write command) so
+    // THIS dataframe's adaptive plan is the one that executes.
+    val df = SparkEntry.queries("q24_minhash_lsh")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan did not finalize:\n$plan")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"no exchange reuse in final q24 plan:\n$plan")
+  }
+
   test("q44 JSON repair fixes the deterministic corruptions") {
     val rows = SparkEntry.queries("q44_json_repair")(spark, sf).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
