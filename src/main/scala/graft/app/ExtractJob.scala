@@ -34,7 +34,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   ExtractJob (--rows N [--seed S] | --input path) --out DIR
   *     [--checkpoint DIR] [--run-id ID] [--quality q] [--lang xx]
-  *     [--buckets B] [--wave-size W] [--repartition N]
+  *     [--buckets B] [--wave-size W] [--repartition N] [--slim]
   */
 object ExtractJob {
 
@@ -51,7 +51,11 @@ object ExtractJob {
       waveSize: Int = 0, // 0 → all remaining buckets in one wave
       repartition: Int = 0,
       writeShuffle: Boolean = true,
-      inputFormat: String = "table") // table (parquet/iceberg via TableIO) | warc
+      inputFormat: String = "table", // table (parquet/iceberg via TableIO) | warc
+      // Corpus-scale output schema: flat per-document columns only
+      // (model.SlimRecord) — drops the nested per-page structs whose
+      // encoding is pure lineage-debug detail at 10^12 rows.
+      slim: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -71,6 +75,7 @@ object ExtractJob {
         case "--repartition" => a = a.copy(repartition = argv(i + 1).toInt); i += 2
         case "--no-write-shuffle" => a = a.copy(writeShuffle = false); i += 1
         case "--input-format" => a = a.copy(inputFormat = argv(i + 1)); i += 2
+        case "--slim" => a = a.copy(slim = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -90,16 +95,23 @@ object ExtractJob {
   /** The extraction kernel stage: opaque to Catalyst, so all pruning/
     * filtering must happen before this call (SURVEY.md §4.2 obligation 1).
     */
-  def extractKernel(pages: Dataset[Page], quality: String): DataFrame = {
+  def extractKernel(pages: Dataset[Page], quality: String,
+      slim: Boolean = false): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     // Per-partition processor instance = the reference's lazy backend
     // singletons (service/main.py:50-55) — built once per task, O(1)
     // memory per row.
-    pages.mapPartitions { it =>
-      val proc = Processor.default
-      it.map(p => proc.extract(p, quality))
-    }.toDF()
+    if (slim)
+      pages.mapPartitions { it =>
+        val proc = Processor.default
+        it.map(p => proc.extract(p, quality).toSlim)
+      }.toDF()
+    else
+      pages.mapPartitions { it =>
+        val proc = Processor.default
+        it.map(p => proc.extract(p, quality))
+      }.toDF()
   }
 
   def loadPages(spark: SparkSession, a: Args): Dataset[Page] = {
@@ -143,7 +155,7 @@ object ExtractJob {
       val sub = if (a.repartition > 0) sub0.repartition(a.repartition) else sub0
       import spark.implicits._
 
-      val recs0 = extractKernel(sub.as[Page], a.quality)
+      val recs0 = extractKernel(sub.as[Page], a.quality, a.slim)
         .withColumn("bucket", bucketExpr(a.buckets))
       // Cluster output files by bucket: one exchange of the COMPACT
       // post-kernel records (raw html never shuffles — it's dropped by

@@ -75,6 +75,41 @@ final class LlmResponseBackend(inner: ExtractionBackend) extends ExtractionBacke
     PyText.unwrapTextFence(inner.extractText(doc, pageNumber))
 }
 
+/** K7: kernel-local retry for transient backend IO (reference
+  * backends/gemini.py:151-179 — exponential backoff around the remote
+  * OCR call). `spark.task.maxFailures` alone rereads the WHOLE partition
+  * on one bad call; this row-level wrapper retries just the failing
+  * extractText. After `maxAttempts` the last exception propagates into
+  * the normal fallback cascade. The sleeper is injectable so tests are
+  * deterministic and sleep-free.
+  */
+final class RetryBackend(
+    inner: ExtractionBackend,
+    maxAttempts: Int = 3,
+    baseBackoffMs: Long = 100L,
+    sleep: Long => Unit = Thread.sleep) extends ExtractionBackend {
+  require(maxAttempts >= 1)
+  def name: String = inner.name
+  def method: String = inner.method
+  def isAvailable: Boolean = inner.isAvailable
+  def extractText(doc: ParsedDoc, pageNumber: Int): String = {
+    var attempt = 1
+    var result: String = null
+    while (result == null) {
+      try {
+        val t = inner.extractText(doc, pageNumber)
+        result = if (t == null) "" else t
+      } catch {
+        case e: Exception =>
+          if (attempt >= maxAttempts) throw e
+          sleep(baseBackoffMs << (attempt - 1)) // 100, 200, 400, …
+          attempt += 1
+      }
+    }
+    result
+  }
+}
+
 /** Fallback "OCR" stand-in: raw image alt text only (the cheap local path
   * — plays the reference's Tesseract role, backends/tesseract.py:67-131).
   */

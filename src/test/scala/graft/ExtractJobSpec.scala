@@ -64,6 +64,25 @@ class ExtractJobSpec extends SparkSuite {
     }
   }
 
+  test("--slim job: flat schema, same per-document values as the full run") {
+    val outFull = tmpDir("xjob-full")
+    val outSlim = tmpDir("xjob-slim")
+    ExtractJob.run(spark, Args(rows = 400, out = outFull, buckets = 4))
+    ExtractJob.run(spark, Args(rows = 400, out = outSlim, buckets = 4, slim = true))
+    val slim = spark.read.parquet(outSlim)
+    // Flat schema: no nested arrays/structs anywhere.
+    assert(slim.schema.fields.forall(f =>
+      !f.dataType.typeName.contains("array") && !f.dataType.typeName.contains("struct")),
+      slim.schema.treeString)
+    // Shared columns carry identical values per url.
+    val cols = Seq("url", "success", "pdf_type", "total_pages", "text",
+      "word_count", "confidence", "extraction_method")
+    val a = spark.read.parquet(outFull).select(cols.head, cols.tail: _*)
+      .orderBy("url").collect().toSeq
+    val b = slim.select(cols.head, cols.tail: _*).orderBy("url").collect().toSeq
+    assert(a == b)
+  }
+
   test("lang filter is pushed before the kernel and respected") {
     val out = tmpDir("xjob-lang")
     ExtractJob.run(spark, Args(rows = N, out = out, buckets = 4, lang = "de"))

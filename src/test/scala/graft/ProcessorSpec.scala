@@ -213,6 +213,32 @@ class ProcessorSpec extends AnyFunSuite {
     assert(r3.page_errors.exists(_.error == "empty response from primary backend"))
   }
 
+  test("K7: RetryBackend retries transient failures with exponential backoff") {
+    // Fails twice, succeeds on the third call.
+    val flaky = new ExtractionBackend {
+      val name = "flaky"; val method = Enums.LlmOcr
+      var calls = 0
+      def isAvailable = true
+      def extractText(doc: ParsedDoc, pageNumber: Int): String = {
+        calls += 1
+        if (calls < 3) throw new RuntimeException(s"transient io $calls")
+        "recovered text"
+      }
+    }
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    val retry = new RetryBackend(flaky, maxAttempts = 3, baseBackoffMs = 100, sleep = sleeps += _)
+    val r = extract(Fixtures.imageOnlyHtml, Enums.Balanced, new Processor(Some(retry), None))
+    assert(r.text.contains("recovered text"))
+    assert(flaky.calls == 3)
+    assert(sleeps.toSeq == Seq(100L, 200L)) // exponential: 100, 200
+    // Permanent failure: last exception reaches the cascade after maxAttempts.
+    val dead = new MockBackend(shouldFail = true)
+    val retryDead = new RetryBackend(dead, maxAttempts = 3, baseBackoffMs = 1, sleep = _ => ())
+    val r2 = extract(Fixtures.imageOnlyHtml, Enums.Balanced, new Processor(Some(retryDead), None))
+    assert(dead.calls == 3)
+    assert(r2.page_errors.exists(_.error == "mock backend failure"))
+  }
+
   test("fast quality makes zero backend calls (test_processor.py)") {
     val primary = new MockBackend()
     val proc = new Processor(Some(primary), None)
