@@ -161,7 +161,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))),
     (FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("minhash_md5"),
+      new ExpressionInfo(classOf[MinhashMd5].getName, "minhash_md5"),
+      (exprs: Seq[Expression]) => MinhashMd5(exprs(0))),
+    (FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
+      (exprs: Seq[Expression]) => SimhashMd5(exprs(0))))
 
   /** Imperative registration (idempotent) for sessions built without the
     * extensions config.

@@ -33,6 +33,12 @@ object PipelineOps {
       url: String, n_bytes: Long, magic: String, media_kind: String,
       width: Int, height: Int, frames: Int)
 
+  /** One audio chunk or sampled frame — the 1→N row shape downstream
+    * per-chunk/per-frame feature extractors consume.
+    */
+  final case class MediaFeature(
+      url: String, kind: String, idx: Int, start_ms: Long, dur_ms: Long)
+
   def decodeStub(url: String, payload: Array[Byte]): MediaMeta = {
     val n = if (payload == null) 0 else payload.length
     val magic =
@@ -335,6 +341,41 @@ object PipelineOps {
                min("width").as("min_w"), max("width").as("max_w"),
                min("height").as("min_h"), max("height").as("max_h"))
           .orderBy("magic", "media_kind")
+      }, None),
+
+    // ---- Time-based media features: audio chunking + frame sampling
+    // over real container structure (graft.media.MediaStreams — RIFF/
+    // WAVE chunk walk, GIF frame-block walk; framing only, the encoded
+    // signal is never decoded). The kernel explodes each payload into
+    // its chunk/frame rows — the 1→N per-feature shape — then rolls up
+    // per kind; exact per-payload values are pinned by MediaStreamsSpec.
+    ("x52_media_features",
+      (s, _) => {
+        import s.implicits._
+        val audio = s.range(0, 200)
+          .map(id => (s"audio://a/$id", graft.media.MediaGen.wavFor(id)))
+        val video = s.range(0, 200)
+          .map(id => (s"video://g/$id", graft.media.MediaGen.gifAnimFor(id)))
+        audio.union(video)
+          .mapPartitions(_.flatMap { case (u, bytes) =>
+            if (u.startsWith("audio://"))
+              graft.media.MediaStreams.wav(bytes).toSeq.flatMap { info =>
+                graft.media.MediaStreams.audioChunks(info, 500L).map {
+                  case (i, st, d) => MediaFeature(u, "audio_chunk", i, st, d)
+                }
+              }
+            else
+              graft.media.MediaStreams.gifFrameCount(bytes).toSeq.flatMap { n =>
+                graft.media.MediaStreams.sampleFrames(n, 4)
+                  .map(f => MediaFeature(u, "frame_sample", f, 0L, 0L))
+              }
+          })
+          .groupBy("kind")
+          .agg(countDistinct("url").as("n_docs"),
+               count(lit(1)).as("n_features"),
+               sum("dur_ms").as("total_ms"),
+               max("idx").as("max_idx"))
+          .orderBy("kind")
       }, None)
   )
 }

@@ -141,6 +141,7 @@ object TextOps {
     // group-by on band signatures whose buckets are near-dup clusters.
     ("q24_minhash_lsh",
       (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
         // Filter BEFORE deriving shingles, on a cheap equivalent
         // precondition: shingles3 is non-empty iff the text has ≥3
         // whitespace-separated tokens iff this regex finds a match.
@@ -150,10 +151,12 @@ object TextOps {
         val sh = docToks(s, d)
           .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
           .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+        // Single-pass codegen'd sketch (plans.MinhashMd5): same 16
+        // seed-prefixed md5 minima as the transform/array_min pipeline
+        // (equality property-tested in HashSketchSpec), none of its
+        // per-shingle allocation.
         val sig = sh.withColumn("sigs",
-          transform(sequence(lit(0), lit(15)),
-            j => array_min(transform(col("shingles"),
-              t => md5(concat(j.cast("string"), lit(":"), t))))))
+          call_function("minhash_md5", col("shingles")))
         // Repartition on the join keys BEFORE the self-join: both sides
         // then share one identical Exchange subtree, which Catalyst's
         // ReuseExchange dedups — the expensive signature pipeline
@@ -246,6 +249,77 @@ object TextOps {
                    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
              SELECT doc_a, doc_b FROM p WHERE j >= 0.5 ORDER BY doc_a, doc_b""")),
 
+    // ---- Incremental near-dup dedup: an ARRIVING BATCH (doc_id % 5 ==
+    // 0, a deterministic 20% slice standing in for today's crawl) is
+    // deduplicated against the EXISTING CORPUS (the other 80%) — the
+    // operation a training-data pipeline runs on every ingest. Same
+    // sketch as q24p (xxhash64 minhashes, 8 bands × 2 rows) but the
+    // band join is batch×corpus only: corpus×corpus pairs are never
+    // formed. Candidates are verified with exact Jaccard, so the DuckDB
+    // oracle is the exact batch×corpus pair set — a green row is a
+    // measured 100%-recall claim for the incremental path.
+    // At 10^12 scale the corpus side of this join is a PRECOMPUTED
+    // signature table (written once by the corpus dedup run); only the
+    // arriving batch is sketched fresh, and the band join's corpus side
+    // streams — per-ingest cost is O(batch), not O(corpus).
+    ("q53_incremental_dedup",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        val base = docToks(s, d)
+          .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
+          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+        val hashed = base.select(col("doc_id"),
+            array_sort(transform(col("shingles"), x => xxhash64(x))).as("hsh"),
+            transform(sequence(lit(0), lit(15)),
+              j => array_min(transform(col("shingles"), t => xxhash64(j, t)))).as("sigs"))
+          .localCheckpoint()
+        def bands(df: DataFrame) = df
+          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band_id"), col("sigs"))
+          .withColumn("band_sig",
+            xxhash64(col("band_id"), concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
+          .select("doc_id", "band_id", "band_sig")
+        val corpus = bands(hashed.where(col("doc_id") % 5 =!= 0))
+        val batch = bands(hashed.where(col("doc_id") % 5 === 0))
+          .withColumnRenamed("doc_id", "b_id")
+        val cand = batch.hint("shuffle_hash")
+          .join(corpus.withColumnRenamed("doc_id", "c_id"), Seq("band_id", "band_sig"))
+          .select(col("b_id"), col("c_id")).distinct()
+        val hits = cand
+          .join(hashed.select(col("doc_id").as("b_id"), col("hsh").as("h_b")), Seq("b_id"))
+          .join(hashed.select(col("doc_id").as("c_id"), col("hsh").as("h_c")), Seq("c_id"))
+          .withColumn("c", call_function("sorted_intersect_count", col("h_b"), col("h_c")))
+          .withColumn("j",
+            col("c").cast("double") /
+              (size(col("h_b")) + size(col("h_c")) - col("c")).cast("double"))
+          .where(col("j") >= 0.5)
+          .groupBy("b_id").agg(min("c_id").as("dup_of"))
+        // Every batch doc gets a verdict — including short docs the
+        // shingle precondition filtered out (no shingles → trivially kept).
+        tbl(s, d, "documents").where(col("doc_id") % 5 === 0)
+          .select(col("doc_id"))
+          .join(hits.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("dup_of").isNull, "kept").otherwise("dup").as("verdict"),
+            col("dup_of"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+             corpus AS (SELECT * FROM sh WHERE doc_id % 5 != 0),
+             batch AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+             hits AS (SELECT b.doc_id AS doc_id, min(c.doc_id) AS dup_of
+                      FROM batch b JOIN corpus c
+                        ON CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+                           CAST(len(list_distinct(list_concat(b.shingles, c.shingles))) AS DOUBLE) >= 0.5
+                      GROUP BY b.doc_id)
+             SELECT d.doc_id,
+               CASE WHEN h.dup_of IS NULL THEN 'kept' ELSE 'dup' END AS verdict,
+               CAST(h.dup_of AS BIGINT) AS dup_of
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             LEFT JOIN hits h USING (doc_id)
+             ORDER BY doc_id""")),
+
     // ---- The complete near-dup dedup pipeline: MinHash-LSH candidate
     // generation → exact-Jaccard verification (only on candidates — the
     // O(n²) compare never happens) → connected-components clustering by
@@ -256,14 +330,14 @@ object TextOps {
     // document to keep.
     ("q35_dup_clusters",
       (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
         // Same cheap ≥3-token precondition as q24 (see comment there).
         val sh = docToks(s, d)
           .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
           .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
+        // Same single-pass sketch as q24 (plans.MinhashMd5).
         val sig = sh.withColumn("sigs",
-          transform(sequence(lit(0), lit(15)),
-            j => array_min(transform(col("shingles"),
-              t => md5(concat(j.cast("string"), lit(":"), t))))))
+          call_function("minhash_md5", col("shingles")))
         val bands = sig.select(col("doc_id"), explode(sequence(lit(0), lit(3))).as("band_id"),
             col("sigs"))
           .withColumn("band_sig", concat_ws(",", slice(col("sigs"), col("band_id") * 4 + 1, lit(4))))
@@ -346,17 +420,18 @@ object TextOps {
     // hex-digit parity of distinct tokens. Near-constant cost per doc;
     // Hamming-ball lookup is the at-scale near-dup join key.
     ("q25_simhash",
-      (s, d) => docToks(s, d)
-        // md5 once per distinct token; the 32 bit-columns then only read
-        // hex chars (32× fewer hashes than hashing inside the bit loop).
-        .withColumn("hashes", transform(array_distinct(col("toks")), t => md5(t)))
-        .withColumn("simhash",
-          concat_ws("", transform(sequence(lit(1), lit(32)),
-            j => when(aggregate(col("hashes"), lit(0),
-                (acc, h) => acc + (ascii(substring(h, j, lit(1))) % 2 * 2 - 1)) > 0,
-              lit("1")).otherwise(lit("0")))))
-        .select("doc_id", "simhash")
-        .orderBy("doc_id"),
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        // Single-pass codegen'd sketch (plans.SimhashMd5): md5 once per
+        // distinct token, all 32 parity counters updated in that same
+        // pass — replaces 32 `aggregate` passes over an md5-hex array
+        // (equality property-tested in HashSketchSpec).
+        docToks(s, d)
+          .withColumn("simhash",
+            call_function("simhash_md5", array_distinct(col("toks"))))
+          .select("doc_id", "simhash")
+          .orderBy("doc_id")
+      },
       Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS tok
                            FROM documents),
              bits AS (SELECT doc_id, j.j,

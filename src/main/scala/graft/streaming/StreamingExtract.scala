@@ -132,6 +132,82 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming dedup output row: extraction output + the content hash it
+    * was deduplicated on (md5 of extracted text — 128 bits so hash
+    * collisions are negligible even at 10^12 documents; a 64-bit key
+    * would produce ~10^4 false merges there) + the page's event time.
+    */
+  final case class DedupRow(
+      url: String,
+      warc_ts: java.sql.Timestamp,
+      content_hash: String,
+      word_count: Int,
+      text: String)
+
+  /** Incremental EXACT dedup: extract each page, drop documents whose
+    * extracted text was already seen. The streaming twin of the batch
+    * hash-groupBy dedup (queries.TextOps q22) for a continuously-fed
+    * pages table — the arriving-batch-vs-corpus case a training-data
+    * pipeline hits daily.
+    *
+    * Two state regimes:
+    *  - `lateness = None` (default): global dedup via `dropDuplicates` —
+    *    state holds one entry per DISTINCT document ever seen. State is
+    *    hash-partitioned across executors and grows with the distinct
+    *    corpus; at 10^12 docs that is a RocksDB-state-store deployment
+    *    (~50 B/key → ~50 TB across the fleet), or periodic compaction
+    *    into the batch job. Correct-by-construction, cost is explicit.
+    *  - `lateness = Some(delay)`: bounded state via
+    *    `dropDuplicatesWithinWatermark` — duplicates are only suppressed
+    *    while their first copy is within the event-time watermark. State
+    *    is bounded by (delay × arrival rate) regardless of corpus size;
+    *    the right choice when duplicates cluster in time (recrawls,
+    *    mirror bursts) and a trailing batch dedup mops up the rest.
+    *
+    * Which document survives a duplicate set is arrival-order dependent
+    * (streaming has no total order) — the CONTENT kept is deterministic,
+    * the representative url is not, matching `dropDuplicates` contract.
+    */
+  def dedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String,
+      quality: String = "balanced",
+      lateness: Option[String] = None): StreamingQuery = {
+    import spark.implicits._
+    val pages = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Page].schema)
+      .parquet(inputDir)
+      .as[Page]
+    val rows = pages.mapPartitions { it =>
+      val proc = Processor.default
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { p =>
+        val r = proc.extract(p, quality)
+        if (r.success && r.text.nonEmpty) {
+          md.reset()
+          val hash = md.digest(r.text.getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString
+          Some(DedupRow(r.url, p.warc_ts, hash, r.word_count, r.text))
+        } else None
+      }
+    }
+    val deduped = lateness match {
+      case Some(delay) =>
+        rows.withWatermark("warc_ts", delay)
+          .dropDuplicatesWithinWatermark("content_hash")
+      case None => rows.dropDuplicates("content_hash")
+    }
+    deduped.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** One metrics row per extracted page (event time carried through the
     * kernel for windowing).
     */
