@@ -2,7 +2,7 @@ package graft
 
 import graft.app.ExtractJob
 import graft.extract.Processor
-import graft.model.Page
+import graft.model.KernelPage
 import graft.synth.PageGen
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -62,18 +62,24 @@ object Bench {
 
   private def warmup(s: SparkSession, path: String): Unit = {
     import s.implicits._
-    s.read.parquet(path).limit(2000).as[Page]
+    s.read.parquet(path).limit(2000)
+      .select("url", "html", "lang").as[KernelPage]
       .mapPartitions { it =>
         val proc = Processor.default
         it.map(p => proc.extract(p, "balanced"))
       }.agg(count(lit(1))).collect()
   }
 
-  /** scan → kernel → aggregate sink (pure extraction throughput). */
+  /** scan → kernel → aggregate sink (pure extraction throughput). The
+    * scan projects to the kernel's input columns (model.KernelPage) —
+    * the production shape; the unused golden `text` column never leaves
+    * the parquet reader.
+    */
   private def kernelSecs(s: SparkSession, path: String): Double = {
     import s.implicits._
     val t0 = System.nanoTime()
-    s.read.parquet(path).as[Page]
+    s.read.parquet(path)
+      .select("url", "html", "lang").as[KernelPage]
       .mapPartitions { it =>
         val proc = Processor.default
         it.map(p => proc.extract(p, "balanced"))

@@ -2,7 +2,7 @@ package graft.app
 
 import graft.extract.Processor
 import graft.jobs.{Checkpoint, LineageRow}
-import graft.model.{Enums, Page}
+import graft.model.{Enums, KernelPage, Page}
 import graft.synth.PageGen
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
@@ -95,7 +95,7 @@ object ExtractJob {
   /** The extraction kernel stage: opaque to Catalyst, so all pruning/
     * filtering must happen before this call (SURVEY.md §4.2 obligation 1).
     */
-  def extractKernel(pages: Dataset[Page], quality: String,
+  def extractKernel(pages: Dataset[KernelPage], quality: String,
       slim: Boolean = false): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
@@ -155,7 +155,11 @@ object ExtractJob {
       val sub = if (a.repartition > 0) sub0.repartition(a.repartition) else sub0
       import spark.implicits._
 
-      val recs0 = extractKernel(sub.as[Page], a.quality, a.slim)
+      // Project to the kernel's input columns BEFORE the opaque stage:
+      // the parquet scan then skips `text`/`warc_ts` entirely (the
+      // deserializer for the full Page row would force-read them).
+      val recs0 = extractKernel(
+          sub.select("url", "html", "lang").as[KernelPage], a.quality, a.slim)
         .withColumn("bucket", bucketExpr(a.buckets))
       // Cluster output files by bucket: one exchange of the COMPACT
       // post-kernel records (raw html never shuffles — it's dropped by

@@ -262,8 +262,15 @@ final class Processor(
     else "direct"
   }
 
-  /** Full extraction of one payload row (processor.py:61-175). */
-  def extract(page: Page, quality: String): ExtractionRecord = {
+  /** Full extraction of one input-table row (projection convenience). */
+  def extract(p: Page, quality: String): ExtractionRecord =
+    extract(KernelPage(p.url, p.html, p.lang), quality)
+
+  /** Full extraction of one payload row (processor.py:61-175). Takes the
+    * narrow kernel projection — url/html/lang are the only input columns
+    * extraction reads (model.KernelPage).
+    */
+  def extract(page: KernelPage, quality: String): ExtractionRecord = {
     DocParser.parse(page.html) match {
       case Left(err) =>
         ExtractionRecord(

@@ -43,6 +43,18 @@ case class Page(
     text: String,
     lang: String)
 
+/** The kernel's input projection: the ONLY columns extraction reads.
+  * Scanning `Page`'s full width decodes `text` (the reference-parity
+  * golden column, often as large as the payload) and `warc_ts` per row
+  * just to drop them — at 10^12 rows that is a double-digit share of
+  * scan bytes. Jobs project to this before the opaque kernel so the
+  * parquet reader never materializes the unused columns.
+  */
+case class KernelPage(
+    url: String,
+    html: Array[Byte],
+    lang: String)
+
 /** Per-unit (page) analysis (detector.py:52-61). */
 case class PageAnalysis(
     page_number: Int, // 1-indexed

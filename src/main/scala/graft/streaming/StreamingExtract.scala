@@ -22,13 +22,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingExtract {
 
-  /** Incremental extraction over a parquet directory source. */
+  /** Incremental extraction over a parquet directory source. The scan
+    * projects to the kernel's input columns (model.KernelPage) — the
+    * unused golden `text` column never leaves the parquet reader.
+    */
   def extractStream(spark: SparkSession, inputDir: String, quality: String): DataFrame = {
     import spark.implicits._
     val pages = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Page].schema)
       .parquet(inputDir)
-      .as[Page]
+      .select("url", "html", "lang")
+      .as[graft.model.KernelPage]
     pages.mapPartitions { it =>
       val proc = Processor.default
       it.map(p => proc.extract(p, quality))
@@ -179,17 +183,19 @@ object StreamingExtract {
     val pages = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Page].schema)
       .parquet(inputDir)
-      .as[Page]
+      .select("url", "warc_ts", "html", "lang") // golden `text` pruned
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
     val rows = pages.mapPartitions { it =>
       val proc = Processor.default
       val md = java.security.MessageDigest.getInstance("MD5")
-      it.flatMap { p =>
+      it.flatMap { case (url, ts, html, lang) =>
+        val p = graft.model.KernelPage(url, html, lang)
         val r = proc.extract(p, quality)
         if (r.success && r.text.nonEmpty) {
           md.reset()
           val hash = md.digest(r.text.getBytes("UTF-8"))
             .map(b => f"$b%02x").mkString
-          Some(DedupRow(r.url, p.warc_ts, hash, r.word_count, r.text))
+          Some(DedupRow(r.url, ts, hash, r.word_count, r.text))
         } else None
       }
     }
@@ -226,12 +232,13 @@ object StreamingExtract {
     val pages = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Page].schema)
       .parquet(inputDir)
-      .as[Page]
+      .select("url", "warc_ts", "html", "lang") // golden `text` pruned
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
     pages.mapPartitions { it =>
       val proc = Processor.default
-      it.map { p =>
-        val r = proc.extract(p, quality)
-        StreamMetric(p.warc_ts, r.pdf_type, r.word_count)
+      it.map { case (url, ts, html, lang) =>
+        val r = proc.extract(graft.model.KernelPage(url, html, lang), quality)
+        StreamMetric(ts, r.pdf_type, r.word_count)
       }
     }
       .withWatermark("warc_ts", "1 hour")

@@ -1,7 +1,7 @@
 package graft.tools
 
 import graft.extract.Processor
-import graft.model.Page
+import graft.model.{KernelPage, Page}
 import graft.synth.PageGen
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -47,8 +47,18 @@ object KernelSparkProbe {
         .mapPartitions { it => val p = Processor.default; it.map(x => p.extract(x, "balanced").toSlim) }
         .agg(count(lit(1)), sum(col("word_count").cast("long"))).collect()
     }
+    run("narrow-scan") {
+      spark.read.parquet(path).select("url", "html", "lang").as[KernelPage]
+        .mapPartitions { it => val p = Processor.default; it.map(x => p.extract(x, "balanced")) }
+        .agg(count(lit(1)), sum(col("word_count").cast("long"))).collect()
+    }
+    run("narrow+slim") {
+      spark.read.parquet(path).select("url", "html", "lang").as[KernelPage]
+        .mapPartitions { it => val p = Processor.default; it.map(x => p.extract(x, "balanced").toSlim) }
+        .agg(count(lit(1)), sum(col("word_count").cast("long"))).collect()
+    }
     run("kernel-only") {
-      spark.read.parquet(path).as[Page]
+      spark.read.parquet(path).select("url", "html", "lang").as[KernelPage]
         .mapPartitions { it =>
           val p = Processor.default
           var words = 0L; var n = 0L

@@ -145,6 +145,7 @@ class ExtractJobSpec extends SparkSuite {
   test("same job at local parallelism 1 vs 4 yields identical output (scaling correctness)") {
     import spark.implicits._
     val pages = PageGen.generate(spark, 120L)
+      .select("url", "html", "lang").as[graft.model.KernelPage]
     val one = ExtractJob.extractKernel(pages.repartition(1), "balanced")
       .select("url", "text").as[(String, String)].collect().sortBy(_._1)
     val four = ExtractJob.extractKernel(pages.repartition(4), "balanced")
