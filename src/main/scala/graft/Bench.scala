@@ -134,9 +134,23 @@ object Bench {
     if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
-  /** Median over per-rep pairs of (thr_hi/thr_lo)/(hi/lo). */
+  /** Median over per-rep pairs of (thr_hi/thr_lo)/(hi/lo). Robust when
+    * host interference is mild and roughly shared by the two runs of a
+    * pair; badly biased DOWN when a stall hits one side of a pair (the
+    * sandbox host stalls individual runs by up to ~8×).
+    */
   private def pairEfficiency(lo: Seq[Double], hi: Seq[Double], ratio: Double): Double =
     median(lo.zip(hi).map { case (l, h) => (l / h) / ratio })
+
+  /** Best-of-reps efficiency: (best thr_hi / best thr_lo)/(hi/lo). For a
+    * single-JVM CPU-bound job, external interference can only SLOW a
+    * rep, never speed it up — so each level's best rep is its
+    * least-interfered measurement and this ratio is the faithful
+    * scaling estimate under erratic host supply. Reported as the
+    * headline; the median-pair figure and all raw reps ship alongside.
+    */
+  private def bestEfficiency(lo: Seq[Double], hi: Seq[Double], ratio: Double): Double =
+    (lo.min / hi.min) / ratio
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -157,7 +171,8 @@ object Bench {
         warmup(s, kernelPath); kernelSecs(s, kernelPath)
       }
     val kernel = kernelAll.view.mapValues(_.min).toMap
-    val kernelEff = pairEfficiency(kernelAll(loN), kernelAll(hiN), hiN.toDouble / loN)
+    val kernelEff = bestEfficiency(kernelAll(loN), kernelAll(hiN), hiN.toDouble / loN)
+    val kernelEffMedPair = pairEfficiency(kernelAll(loN), kernelAll(hiN), hiN.toDouble / loN)
 
     val jobAll = atParallelism(Seq(loN, hiN), reps, "job") { s =>
       // Job output defaults to tmpfs: the sandbox's lone ~130 MB/s block
@@ -170,7 +185,8 @@ object Bench {
       warmup(s, jobPath); jobSecs(s, jobPath, outDir)
     }
     val job = jobAll.view.mapValues(_.min).toMap
-    val jobEff = pairEfficiency(jobAll(loN), jobAll(hiN), hiN.toDouble / loN)
+    val jobEff = bestEfficiency(jobAll(loN), jobAll(hiN), hiN.toDouble / loN)
+    val jobEffMedPair = pairEfficiency(jobAll(loN), jobAll(hiN), hiN.toDouble / loN)
     def repsJson(m: Map[Int, Vector[Double]], k: Int) =
       m(k).map(v => f"$v%.3f").mkString("[", ",", "]")
 
@@ -223,10 +239,10 @@ object Bench {
     println(
       f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$storage"extraction":{""" +
       f""""kernel_rows":$kernelRows,"kernel_local${loN}_secs":${kernel(loN)}%.3f,"kernel_local${loN}_docs_per_sec":${thr(kernelRows, kernel(loN))}%.1f,""" +
-      f""""kernel_local${hiN}_secs":${kernel(hiN)}%.3f,"kernel_local${hiN}_docs_per_sec":${thr(kernelRows, kernel(hiN))}%.1f,"kernel_scaling_efficiency":$kernelEff%.3f,""" +
+      f""""kernel_local${hiN}_secs":${kernel(hiN)}%.3f,"kernel_local${hiN}_docs_per_sec":${thr(kernelRows, kernel(hiN))}%.1f,"kernel_scaling_efficiency":$kernelEff%.3f,"kernel_scaling_efficiency_median_pair":$kernelEffMedPair%.3f,""" +
       f""""kernel_reps_local$loN":${repsJson(kernelAll, loN)},"kernel_reps_local$hiN":${repsJson(kernelAll, hiN)},""" +
       f""""job_rows":$jobRows,"job_local${loN}_secs":${job(loN)}%.3f,"job_local${loN}_docs_per_sec":${thr(jobRows, job(loN))}%.1f,""" +
-      f""""job_local${hiN}_secs":${job(hiN)}%.3f,"job_local${hiN}_docs_per_sec":${thr(jobRows, job(hiN))}%.1f,"job_scaling_efficiency":$jobEff%.3f,""" +
+      f""""job_local${hiN}_secs":${job(hiN)}%.3f,"job_local${hiN}_docs_per_sec":${thr(jobRows, job(hiN))}%.1f,"job_scaling_efficiency":$jobEff%.3f,"job_scaling_efficiency_median_pair":$jobEffMedPair%.3f,""" +
       f""""job_reps_local$loN":${repsJson(jobAll, loN)},"job_reps_local$hiN":${repsJson(jobAll, hiN)}""" +
       bigdoc.map { case (bytes, secs, dps) =>
         f""","bigdoc":{"rows":$bigRows,"para_scale":40,"payload_mb":${bytes / 1e6}%.1f,"secs":$secs%.3f,"docs_per_sec":$dps%.1f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}"""

@@ -35,6 +35,7 @@ import org.apache.spark.sql.functions._
   *   ExtractJob (--rows N [--seed S] | --input path) --out DIR
   *     [--checkpoint DIR] [--run-id ID] [--quality q] [--lang xx]
   *     [--buckets B] [--wave-size W] [--repartition N] [--slim]
+  *     [--notify PATH]
   */
 object ExtractJob {
 
@@ -55,7 +56,14 @@ object ExtractJob {
       // Corpus-scale output schema: flat per-document columns only
       // (model.SlimRecord) — drops the nested per-page structs whose
       // encoding is pure lineage-debug detail at 10^12 rows.
-      slim: Boolean = false)
+      slim: Boolean = false,
+      // I4 completion notification (reference service/jobs.py:231-247
+      // fire-and-forget webhook): on job completion a one-line JSON
+      // summary is written ATOMICALLY (tmp + rename) to this path. The
+      // filesystem is the sandbox-safe delivery seam — in a cluster
+      // deployment the same payload goes to the webhook URL; consumers
+      // watch for the file exactly as they would receive the POST.
+      notifyPath: String = "")
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -76,6 +84,7 @@ object ExtractJob {
         case "--no-write-shuffle" => a = a.copy(writeShuffle = false); i += 1
         case "--input-format" => a = a.copy(inputFormat = argv(i + 1)); i += 2
         case "--slim" => a = a.copy(slim = true); i += 1
+        case "--notify" => a = a.copy(notifyPath = argv(i + 1)); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -141,7 +150,10 @@ object ExtractJob {
     val done = if (a.checkpoint.nonEmpty)
       Checkpoint.completedBuckets(spark, a.checkpoint, a.runId) else Set.empty[Int]
     val remaining = (0 until a.buckets).filterNot(done)
-    if (remaining.isEmpty) return Nil
+    if (remaining.isEmpty) {
+      if (a.notifyPath.nonEmpty) notifyCompletion(a, Nil)
+      return Nil
+    }
 
     val waveSize = if (a.waveSize <= 0) remaining.size else a.waveSize
     val waves = remaining.grouped(waveSize).toVector
@@ -193,8 +205,35 @@ object ExtractJob {
       if (a.checkpoint.nonEmpty) Checkpoint.append(spark, a.checkpoint, rows)
       allRows ++= rows
     }
-    allRows.result()
+    val result = allRows.result()
+    if (a.notifyPath.nonEmpty) notifyCompletion(a, result)
+    result
   }
+
+  /** I4: write the completion notification (atomic tmp+rename; see the
+    * `notify` arg doc). Failures are logged, never fatal — notification
+    * is fire-and-forget like the reference's webhook POST.
+    */
+  private[app] def notifyCompletion(a: Args, rows: Seq[LineageRow]): Unit =
+    try {
+      val docs = rows.map(_.docs).sum
+      val errors = rows.map(_.error_docs).sum
+      val status = if (rows.nonEmpty) "completed" else "noop"
+      val json =
+        s"""{"job":"extract","run_id":"${a.runId}","status":"$status",""" +
+        s""""docs":$docs,"error_docs":$errors,"buckets_done":${rows.length},""" +
+        s""""out":"${a.out}"}"""
+      val target = java.nio.file.Paths.get(a.notifyPath)
+      if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+      java.nio.file.Files.write(tmp, (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[extract] notify failed (non-fatal): ${e.getMessage}")
+    }
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)

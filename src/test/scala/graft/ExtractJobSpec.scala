@@ -83,6 +83,28 @@ class ExtractJobSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("--notify writes an atomic completion summary (I4 seam)") {
+    val out = tmpDir("xjob-notify")
+    val notifyPath = tmpDir("xjob-notify-dir") + "/done.json"
+    val rows = ExtractJob.run(spark,
+      Args(rows = 200, out = out, buckets = 4, notifyPath = notifyPath))
+    val f = new java.io.File(notifyPath)
+    assert(f.exists())
+    assert(!new java.io.File(notifyPath + ".tmp").exists()) // rename, not partial write
+    val json = scala.io.Source.fromFile(f).mkString
+    assert(json.contains(""""status":"completed""""))
+    assert(json.contains(s""""docs":${rows.map(_.docs).sum}"""))
+    assert(json.contains(""""buckets_done":4"""))
+    // A complete-checkpoint rerun is a noop and reports it as such.
+    val ckpt = tmpDir("xjob-notify-ckpt")
+    ExtractJob.run(spark, Args(rows = 200, out = out, buckets = 4,
+      checkpoint = ckpt, notifyPath = notifyPath))
+    ExtractJob.run(spark, Args(rows = 200, out = out, buckets = 4,
+      checkpoint = ckpt, notifyPath = notifyPath))
+    val json2 = scala.io.Source.fromFile(f).mkString
+    assert(json2.contains(""""status":"noop""""))
+  }
+
   test("lang filter is pushed before the kernel and respected") {
     val out = tmpDir("xjob-lang")
     ExtractJob.run(spark, Args(rows = N, out = out, buckets = 4, lang = "de"))

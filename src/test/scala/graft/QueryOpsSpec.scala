@@ -144,6 +144,22 @@ class QueryOpsSpec extends SparkSuite {
       s"no exchange reuse in final q24 plan:\n$plan")
   }
 
+  test("q53 incremental dedup: batch verdicts are exact and corpus-only") {
+    import spark.implicits._
+    val df = SparkEntry.queries("q53_incremental_dedup")(spark, sf)
+    val rows = df.collect()
+    // Exactly the batch slice, one verdict per doc.
+    val batchIds = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") % 5 === 0).select("doc_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSet == batchIds)
+    // dup rows point at a CORPUS doc (never another batch doc).
+    rows.filter(_.getString(1) == "dup").foreach { r =>
+      assert(r.getLong(2) % 5 != 0, s"dup_of must be a corpus doc: $r")
+    }
+    // kept rows carry no dup_of.
+    assert(rows.filter(_.getString(1) == "kept").forall(_.isNullAt(2)))
+  }
+
   test("q44 JSON repair fixes the deterministic corruptions") {
     val rows = SparkEntry.queries("q44_json_repair")(spark, sf).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
