@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Web-corpus curation operators: URL canonicalization, PII redaction,
+  * and Gopher/C4-style quality filtering — the standard published
+  * pre-training curation steps (C4: Raffel et al. 2020 §2.2; Gopher:
+  * Rae et al. 2021 appendix A1.1) a crawl pipeline runs between fetch
+  * and dedup. All three are map-only (no shuffle until the final
+  * ORDER BY the driver needs for comparison) and oracle-checked: the
+  * DuckDB side mirrors each regex chain exactly (RE2-safe patterns —
+  * no lookarounds or backrefs — with explicit 'g' flags; Spark's
+  * regexp_replace is global by default).
+  *
+  * URLs/PII are planted deterministically from doc_id with the SAME
+  * expression on both engines (the q44 corruption-oracle pattern): the
+  * documents table has no url column, and its text carries no PII —
+  * planting inputs keeps the operators honestly end-to-end-tested
+  * without external data.
+  */
+object WebOps {
+
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- URL canonicalization: lowercase scheme/host, strip www. and
+    // default ports, collapse duplicate path slashes, drop utm_*
+    // tracking params and fragments. The dedup key for recrawled pages
+    // — at corpus scale this runs before the content hash so mirror
+    // URLs collapse.
+    ("q54_url_canonical",
+      (s, d) => {
+        val url = concat(
+          when(col("doc_id") % 4 === 0,
+            concat(lit("HTTPS://WWW.Site"), col("doc_id") % 5,
+              lit(".COM:443/a//b/p"), col("doc_id"),
+              lit("?utm_source=feed&x="), col("doc_id"), lit("#top")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit("https://site"), col("doc_id") % 5,
+              lit(".com/a/b/p"), col("doc_id"), lit("?x="), col("doc_id")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("http://Site"), col("doc_id") % 5,
+              lit(".com:80/a//b//p"), col("doc_id"),
+              lit("?utm_campaign=c&utm_medium=m")))
+          .otherwise(
+            concat(lit("https://m.site"), col("doc_id") % 5,
+              lit(".com/p"), col("doc_id"), lit("#frag"))))
+        val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
+        val host0 = lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+        val host = regexp_replace(
+          regexp_replace(host0, "^www\\.", ""), ":(80|443)$", "")
+        val path0 = regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+        val path = when(length(path0) === 0, lit("/"))
+          .otherwise(regexp_replace(path0, "/{2,}", "/"))
+        val query0 = regexp_extract(col("url"), "\\?([^#]*)", 1)
+        val query = regexp_replace(
+          regexp_replace(query0, "utm_[^&]*&", ""), "&?utm_[^&]*$", "")
+        tbl(s, d, "documents")
+          .withColumn("url", url)
+          .withColumn("canonical_url",
+            concat(scheme, lit("://"), host, path,
+              when(length(query) > 0, concat(lit("?"), query)).otherwise(lit(""))))
+          .select("doc_id", "url", "canonical_url")
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id, CASE
+               WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 5) || '.COM:443/a//b/p' || doc_id || '?utm_source=feed&x=' || doc_id || '#top'
+               WHEN doc_id % 4 = 1 THEN 'https://site' || (doc_id % 5) || '.com/a/b/p' || doc_id || '?x=' || doc_id
+               WHEN doc_id % 4 = 2 THEN 'http://Site' || (doc_id % 5) || '.com:80/a//b//p' || doc_id || '?utm_campaign=c&utm_medium=m'
+               ELSE 'https://m.site' || (doc_id % 5) || '.com/p' || doc_id || '#frag' END AS url
+             FROM documents),
+             parts AS (SELECT doc_id, url,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+               regexp_replace(regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), '^www\.', ''), ':(80|443)$', '') AS host,
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path0,
+               regexp_replace(regexp_replace(regexp_extract(url, '\?([^#]*)', 1), 'utm_[^&]*&', '', 'g'), '&?utm_[^&]*$', '') AS q
+             FROM u)
+             SELECT doc_id, url,
+               scheme || '://' || host ||
+               (CASE WHEN length(path0) = 0 THEN '/' ELSE regexp_replace(path0, '/{2,}', '/', 'g') END) ||
+               (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) AS canonical_url
+             FROM parts ORDER BY doc_id""")),
+
+    // ---- PII redaction: emails, then IPv4s, then phone-shaped tokens →
+    // typed placeholders, with per-kind counts and the md5 of the
+    // redacted text as the cross-engine proof. Map-only; at corpus
+    // scale this fuses into the same pass as quality scoring.
+    ("q55_pii_redact",
+      (s, d) => {
+        val planted = concat(col("text"),
+          lit(" Contact user"), col("doc_id"), lit("@mail.example.com or +1-555-"),
+          col("doc_id") % 90 + 10, lit(" ip 10.0."), col("doc_id") % 256, lit(".7"))
+        val emailPat = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ipPat = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+        val phonePat = "\\+1-555-[0-9]{2,4}"
+        tbl(s, d, "documents")
+          .withColumn("t", planted)
+          .withColumn("n_emails", size(regexp_extract_all(col("t"), lit(emailPat), lit(0))))
+          .withColumn("n_ips", size(regexp_extract_all(col("t"), lit(ipPat), lit(0))))
+          .withColumn("n_phones", size(regexp_extract_all(col("t"), lit(phonePat), lit(0))))
+          .withColumn("redacted",
+            regexp_replace(regexp_replace(regexp_replace(col("t"),
+              emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
+          .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+            md5(col("redacted")).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+               text || ' Contact user' || doc_id || '@mail.example.com or +1-555-' ||
+               (doc_id % 90 + 10) || ' ip 10.0.' || (doc_id % 256) || '.7' AS t
+             FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+               CAST(len(regexp_extract_all(t, '\+1-555-[0-9]{2,4}')) AS INT) AS n_phones,
+               md5(regexp_replace(regexp_replace(regexp_replace(t,
+                 '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+                 '\+1-555-[0-9]{2,4}', '<PHONE>', 'g')) AS redacted_md5
+             FROM t ORDER BY doc_id""")),
+
+    // ---- Gopher-style quality filters (Rae et al. 2021 A1.1 subset):
+    // mean word length in [3,10], ≥80% of words contain an alphabetic
+    // char, symbol-to-word ratio ≤ 0.1, ≤30% of lines end in an
+    // ellipsis. Per-doc metrics + the keep verdict a curation pass
+    // would filter on. Map-only.
+    ("q56_quality_filters",
+      (s, d) => {
+        val t = docToksPub(s, d)
+          .withColumn("n_toks", size(col("toks")))
+          .where(col("n_toks") > 0)
+          .withColumn("mean_word_len",
+            round(aggregate(col("toks"), lit(0L),
+              (acc, x) => acc + length(x)).cast("double") / col("n_toks"), 6))
+          .withColumn("alpha_frac",
+            round(size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("double") /
+              col("n_toks"), 6))
+          .withColumn("symbol_ratio",
+            round(size(regexp_extract_all(col("text"), lit("[#…]|\\.\\.\\."), lit(0)))
+              .cast("double") / col("n_toks"), 6))
+          .withColumn("lines", split(col("text"), "\n"))
+          .withColumn("ellipsis_frac",
+            round(size(filter(col("lines"), x => x.rlike("(\\.\\.\\.|…)\\s*$")))
+              .cast("double") / size(col("lines")), 6))
+        t.withColumn("keep",
+            col("mean_word_len") >= 3 && col("mean_word_len") <= 10 &&
+            col("alpha_frac") >= 0.8 && col("symbol_ratio") <= 0.1 &&
+            col("ellipsis_frac") <= 0.3)
+          .select("doc_id", "n_toks", "mean_word_len", "alpha_frac",
+            "symbol_ratio", "ellipsis_frac", "keep")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             m AS (SELECT doc_id, text, len(toks) AS n_toks,
+                     round(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks), 6) AS mean_word_len,
+                     round(CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks), 6) AS alpha_frac,
+                     round(CAST(len(regexp_extract_all(text, '[#…]|\.\.\.')) AS DOUBLE) / len(toks), 6) AS symbol_ratio,
+                     round(CAST(len(list_filter(string_split(text, chr(10)), x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE) / len(string_split(text, chr(10))), 6) AS ellipsis_frac
+                   FROM t WHERE len(toks) > 0)
+             SELECT doc_id, CAST(n_toks AS INT) AS n_toks, mean_word_len, alpha_frac,
+               symbol_ratio, ellipsis_frac,
+               (mean_word_len >= 3 AND mean_word_len <= 10 AND alpha_frac >= 0.8
+                AND symbol_ratio <= 0.1 AND ellipsis_frac <= 0.3) AS keep
+             FROM m ORDER BY doc_id"""))
+  )
+
+  /** Public twin of TextOps.docToks (kept private there). */
+  private def docToksPub(s: SparkSession, d: String): DataFrame =
+    tbl(s, d, "documents").withColumn("toks", tokens(col("text")))
+}
