@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryUtil._
+
+/** Training-sequence engineering operators: the steps between a curated
+  * corpus and a tokenized training set — window chunking (document →
+  * fixed-size overlapping token sequences), deterministic stratified
+  * sampling (per-language mixture control), and mixture-weight
+  * computation. All oracle-checked; all map-only or single-aggregation.
+  *
+  * Determinism note: sampling uses md5(doc_id) hex-prefix thresholds —
+  * the one hash shared by both engines — so the sample is a pure
+  * function of doc_id, reproducible across runs/engines, and
+  * rate-monotone (raising a rate only ADDS documents, never reshuffles
+  * the kept set — the property a data-mixture ablation needs).
+  */
+object TrainOps {
+
+  type Q = (String, (SparkSession, String) => DataFrame, Option[String])
+
+  private val W = 50 // window tokens
+  private val S = 40 // stride (10-token overlap)
+
+  val defs: Seq[Q] = Seq(
+
+    // ---- Token-window chunking: document → overlapping W-token
+    // training sequences with stride S. One row per window; the md5 of
+    // the joined window is the cross-engine content proof. Map-only
+    // 1→N explode — at corpus scale this is the sequence-packing
+    // pre-pass, and the explode stays inside one narrow stage.
+    ("q57_token_windows",
+      (s, d) => {
+        val t = tbl(s, d, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("n", size(col("toks")))
+          .where(col("n") > 0)
+        t.withColumn("win_id",
+            explode(sequence(lit(0),
+              ceil(greatest(col("n") - W, lit(0)).cast("double") / S).cast("int"))))
+          .withColumn("win", slice(col("toks"), col("win_id") * S + 1, lit(W)))
+          .select(col("doc_id"), col("win_id"),
+            size(col("win")).as("n_win_toks"),
+            md5(concat_ws(" ", col("win"))).as("win_md5"))
+          .orderBy("doc_id", "win_id")
+      },
+      Some(s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks,
+                    len(regexp_extract_all(lower(text), '\\S+')) AS n
+                  FROM documents),
+             w AS (SELECT doc_id, toks, n, CAST(u.i AS INT) AS win_id
+                   FROM t, unnest(range(0, CAST(ceil(greatest(n - $W, 0) / $S.0) AS BIGINT) + 1)) AS u(i)
+                   WHERE n > 0)
+             SELECT doc_id, win_id,
+               CAST(len(toks[win_id*$S+1 : least(win_id*$S+$W, n)]) AS INT) AS n_win_toks,
+               md5(array_to_string(toks[win_id*$S+1 : least(win_id*$S+$W, n)], ' ')) AS win_md5
+             FROM w ORDER BY doc_id, win_id""")),
+
+    // ---- Deterministic stratified sampling: per-language keep rates
+    // via md5 hex-prefix threshold (en 80% / de 50% / others 20% — a
+    // typical mixture rebalance). threshold = rate×256 in 2 hex chars;
+    // kept iff the first md5 byte is below it.
+    ("q58_stratified_sample",
+      (s, d) => {
+        val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+        tbl(s, d, "documents")
+          .withColumn("kept",
+            when(col("lang") === "en", h < "cc")       // 204/256 ≈ 80%
+              .when(col("lang") === "de", h < "80")    // 128/256 = 50%
+              .otherwise(h < "33"))                    //  51/256 ≈ 20%
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+             FROM documents)
+             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN (lang = 'en' AND h < 'cc')
+                          OR (lang = 'de' AND h < '80')
+                          OR (lang NOT IN ('en','de') AND h < '33')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+             FROM t GROUP BY lang ORDER BY lang""")),
+
+    // ---- Mixture weights: each language's share of corpus tokens —
+    // the sampling-weight table a data-mixture config consumes. One
+    // partial-aggregated shuffle + a broadcast of the single total.
+    ("q59_mixture_weights",
+      (s, d) => {
+        val t = tbl(s, d, "documents")
+          .withColumn("n_toks", size(tokens(col("text"))).cast("long"))
+          .groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
+        val total = t.agg(sum("lang_tokens").as("total"))
+        t.crossJoin(broadcast(total))
+          .select(col("lang"), col("lang_tokens"),
+            round(col("lang_tokens").cast("double") / col("total"), 6).as("weight"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang,
+               CAST(sum(len(regexp_extract_all(lower(text), '\S+'))) AS BIGINT) AS lang_tokens
+             FROM documents GROUP BY lang)
+             SELECT lang, lang_tokens,
+               round(CAST(lang_tokens AS DOUBLE) / (SELECT sum(lang_tokens) FROM t), 6) AS weight
+             FROM t ORDER BY lang"""))
+  )
+}

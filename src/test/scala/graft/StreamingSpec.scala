@@ -110,6 +110,38 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() == distinctTexts)
   }
 
+  test("watermark-bounded dedup EXPIRES state: a dup after the window passes through") {
+    import spark.implicits._
+    val in = tmpDir("exp_in")
+    val out = tmpDir("exp_out")
+    val ckpt = tmpDir("exp_ckpt")
+    val day = 86400000L
+    val t0 = 1700000000000L
+    def page(url: String, tsMs: Long, body: String) = graft.model.Page(
+      url, new java.sql.Timestamp(tsMs),
+      s"<html><body><p>$body</p></body></html>".getBytes("UTF-8"), "", "en")
+
+    def runFile(pages: Seq[graft.model.Page]): Unit = {
+      pages.toDS().toDF().coalesce(1).write.mode("append").parquet(in)
+      StreamingExtract.dedupStream(spark, in, out, ckpt,
+        lateness = Some("30 days")).awaitTermination()
+    }
+    // Run 1: the content at T0 — emitted, state entry expires at T0+30d.
+    runFile(Seq(page("https://a.example/1", t0, "repeated body"),
+                page("https://a.example/2", t0 + 1, "repeated body")))
+    assert(spark.read.parquet(out).count() == 1) // in-window dup suppressed
+    // Run 2: unrelated content at T0+90d advances the watermark to
+    // T0+60d, evicting the expired entry.
+    runFile(Seq(page("https://a.example/3", t0 + 90 * day, "other body")))
+    // Run 3: the SAME content again, after the window — passes through
+    // (the documented bounded-state trade; a trailing batch dedup mops up).
+    runFile(Seq(page("https://a.example/4", t0 + 91 * day, "repeated body")))
+    val texts = spark.read.parquet(out).select("text").as[String].collect()
+    assert(texts.count(_.contains("repeated body")) == 2,
+      s"expected the out-of-window dup to re-emit; got ${texts.toSeq}")
+    assert(texts.count(_.contains("other body")) == 1)
+  }
+
   test("windowed metrics stream aggregates by event-time window") {
     val in = tmpDir("met_in")
     PageGen.generate(spark, 300).toDF()

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Training-sequence operators: window coverage/overlap invariants and
+  * sampling monotonicity beyond the hash oracle.
+  */
+class TrainOpsSpec extends SparkSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q57: windows tile every document with stride-40 starts and ≤50-token spans") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q57_token_windows")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_._1)
+    val docToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(lower(col("text")), "\\s+")).as("n"))
+      .as[(Long, Int)].collect().toMap
+    byDoc.foreach { case (doc, ws) =>
+      val n = docToks(doc)
+      val sorted = ws.sortBy(_._2)
+      // win_ids are 0..k contiguous; all full-size except possibly the last.
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq)
+      sorted.init.foreach { case (_, _, len) => assert(len == 50) }
+      val (_, lastId, lastLen) = sorted.last
+      assert(lastId * 40 + lastLen == n || lastLen == 50,
+        s"doc $doc: last window [$lastId, $lastLen] vs n=$n")
+      // Coverage: every token index falls in some window.
+      assert(lastId * 40 + lastLen >= n)
+    }
+  }
+
+  test("q58: kept counts track the 80/50/20 rates and sampling is doc_id-deterministic") {
+    val m = SparkEntry.queries("q58_stratified_sample")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (enN, enK) = m("en")
+    assert(enK.toDouble / enN > 0.6 && enK.toDouble / enN < 0.95)
+    m.filterKeys(l => l != "en" && l != "de").values.foreach { case (n, k) =>
+      assert(k.toDouble / n < 0.45, s"non-en/de rate too high: $k/$n")
+    }
+    // Determinism: identical across invocations.
+    val again = SparkEntry.queries("q58_stratified_sample")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m == again)
+    assert(m.nonEmpty)
+  }
+
+  test("q59: mixture weights are positive and sum to ~1") {
+    val ws = SparkEntry.queries("q59_mixture_weights")(spark, sf)
+      .collect().map(_.getDouble(2))
+    assert(ws.forall(_ > 0))
+    assert(math.abs(ws.sum - 1.0) < 1e-4, s"weights sum ${ws.sum}")
+  }
+}
