@@ -102,6 +102,52 @@ object TrainOps {
              FROM documents GROUP BY lang)
              SELECT lang, lang_tokens,
                round(CAST(lang_tokens AS DOUBLE) / (SELECT sum(lang_tokens) FROM t), 6) AS weight
-             FROM t ORDER BY lang"""))
+             FROM t ORDER BY lang""")),
+
+    // ---- Decontamination: flag corpus documents sharing any word
+    // 5-gram with the held-out eval slice (doc_id % 50 == 0 stands in
+    // for the benchmark set) — the n-gram-overlap hygiene check run
+    // before training. Scale shape: the eval side is SMALL by
+    // definition, so its distinct shingle set broadcasts and the check
+    // is a map-side semi-join over the corpus — no corpus shuffle.
+    ("q60_decontamination",
+      (s, d) => {
+        def sh5(toks: org.apache.spark.sql.Column) =
+          when(size(toks) >= 5,
+            array_distinct(transform(sequence(lit(0), size(toks) - 5),
+              i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+                element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5)))))
+            .otherwise(array().cast("array<string>"))
+        val t = tbl(s, d, "documents")
+          .withColumn("sh", sh5(tokens(col("text"))))
+        val eval_ = t.where(col("doc_id") % 50 === 0)
+          .select(explode(col("sh")).as("shingle")).distinct()
+        val corpus = t.where(col("doc_id") % 50 =!= 0)
+        val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+          .join(broadcast(eval_), Seq("shingle"))
+          .groupBy("doc_id").agg(countDistinct("shingle").as("n_shared"))
+        corpus.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            coalesce(col("n_shared"), lit(0L)) > 0)
+          .toDF("doc_id", "n_shared", "contaminated")
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN
+                      list_distinct(list_transform(range(1, greatest(len(toks)-3,1)),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+                    ELSE [] END AS sh FROM t),
+             ev AS (SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 50 = 0),
+             cs AS (SELECT doc_id, unnest(sh) AS shingle FROM sh WHERE doc_id % 50 != 0),
+             hits AS (SELECT cs.doc_id, count(DISTINCT cs.shingle) AS n_shared
+                      FROM cs JOIN ev USING (shingle) GROUP BY cs.doc_id)
+             SELECT s.doc_id,
+               CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+               coalesce(h.n_shared, 0) > 0 AS contaminated
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) s
+             LEFT JOIN hits h USING (doc_id)
+             ORDER BY doc_id"""))
   )
 }

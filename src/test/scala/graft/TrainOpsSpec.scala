@@ -46,6 +46,20 @@ class TrainOpsSpec extends SparkSuite {
     assert(m.nonEmpty)
   }
 
+  test("q60: eval shingle set broadcasts; contamination flags are coherent") {
+    val df = SparkEntry.queries("q60_decontamination")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side must broadcast (map-side semi-join over the corpus):\n$plan")
+    val rows = df.collect()
+    // Eval docs excluded; flags match counts.
+    assert(rows.forall(_.getLong(0) % 50 != 0))
+    assert(rows.forall(r => r.getBoolean(2) == (r.getLong(1) > 0)))
+    // The tiny shared vocabulary makes overlap common — both classes
+    // must be present for the check to be meaningful.
+    assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
+  }
+
   test("q59: mixture weights are positive and sum to ~1") {
     val ws = SparkEntry.queries("q59_mixture_weights")(spark, sf)
       .collect().map(_.getDouble(2))
