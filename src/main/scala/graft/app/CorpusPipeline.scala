@@ -1,0 +1,200 @@
+package graft.app
+
+import graft.model.KernelPage
+import graft.queries.QueryUtil._
+import graft.synth.PageGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The full training-data pipeline as ONE spark-submit command — the
+  * composition every individual operator in this library exists for:
+  *
+  *   pages → extract (kernel) → quality filter (Gopher subset)
+  *         → exact dedup (md5 groupBy) → near-dup dedup (MinHash-LSH +
+  *           exact-Jaccard verify) → decontaminate (eval 5-gram overlap,
+  *           optional) → token-window chunking → stratified sampling
+  *         → training_windows parquet + per-stage row counts
+  *
+  * Every stage is the operator shape verified by the q-series oracles
+  * (q22/q24p/q53/q56/q57/q58/q60); this main wires them into the
+  * one-command path a corpus run actually executes, with stage metrics
+  * for the lineage record. Scale shapes are inherited: the kernel is
+  * map-only, dedup shuffles only compact digests/signatures, the eval
+  * shingle set broadcasts, chunking/sampling are map-only.
+  *
+  * Usage:
+  *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
+  *     [--eval path] [--window W] [--stride S] [--quality q]
+  */
+object CorpusPipeline {
+
+  final case class Args(
+      rows: Long = 0L,
+      seed: Long = 42L,
+      input: String = "",
+      out: String = "",
+      evalPath: String = "",
+      window: Int = 50,
+      stride: Int = 40,
+      quality: String = "balanced")
+
+  def parseArgs(argv: Array[String]): Args = {
+    var a = Args()
+    var i = 0
+    while (i < argv.length) {
+      argv(i) match {
+        case "--rows" => a = a.copy(rows = argv(i + 1).toLong); i += 2
+        case "--seed" => a = a.copy(seed = argv(i + 1).toLong); i += 2
+        case "--input" => a = a.copy(input = argv(i + 1)); i += 2
+        case "--out" => a = a.copy(out = argv(i + 1)); i += 2
+        case "--eval" => a = a.copy(evalPath = argv(i + 1)); i += 2
+        case "--window" => a = a.copy(window = argv(i + 1).toInt); i += 2
+        case "--stride" => a = a.copy(stride = argv(i + 1).toInt); i += 2
+        case "--quality" => a = a.copy(quality = argv(i + 1)); i += 2
+        case other => throw new IllegalArgumentException(s"unknown arg: $other")
+      }
+    }
+    require(a.out.nonEmpty, "--out is required")
+    require(a.rows > 0 || a.input.nonEmpty, "--rows or --input is required")
+    a
+  }
+
+  private def sh3(toks: org.apache.spark.sql.Column) = shingles3(toks)
+
+  private def sh5(toks: org.apache.spark.sql.Column) =
+    when(size(toks) >= 5,
+      array_distinct(transform(sequence(lit(0), size(toks) - 5),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
+          element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Run the pipeline; returns (stage → surviving row count), in order. */
+  def run(spark: SparkSession, a: Args): Seq[(String, Long)] = {
+    import spark.implicits._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val stages = Vector.newBuilder[(String, Long)]
+
+    val pages =
+      (if (a.input.nonEmpty) TableIO.read(spark, a.input)
+       else PageGen.generate(spark, a.rows, a.seed).toDF())
+        .select("url", "html", "lang").as[KernelPage]
+    stages += "pages" -> pages.count()
+
+    // 1. Extraction (slim schema — the corpus path).
+    val extracted = ExtractJob.extractKernel(pages, a.quality, slim = true)
+      .where(col("success") && length(col("text")) > 0)
+      .select("url", "lang", "text", "word_count").persist()
+    stages += "extracted" -> extracted.count()
+
+    // 2. Quality filter (Gopher subset, q56 semantics).
+    val withToks = extracted.withColumn("toks", tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .where(col("n_toks") >= 5)
+      // greatest(…,1): predicate pushdown may reorder the quality
+      // predicates before the n_toks filter; under ANSI (Spark 4
+      // default) a zero divisor then throws instead of filtering.
+      .withColumn("mean_word_len",
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+          greatest(col("n_toks"), lit(1)))
+      .withColumn("alpha_frac",
+        size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("double") /
+          greatest(col("n_toks"), lit(1)))
+    val quality = withToks
+      .where(col("mean_word_len") >= 2 && col("mean_word_len") <= 12 &&
+        col("alpha_frac") >= 0.8)
+      .select("url", "lang", "text", "toks").persist()
+    extracted.unpersist()
+    stages += "quality" -> quality.count()
+
+    // 3. Exact dedup: one shuffle on the 128-bit digest, min url survives.
+    val exact = quality
+      .withColumn("digest", md5(col("text")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest").orderBy("url")))
+      .where(col("rk") === 1).drop("rk", "digest").persist()
+    quality.unpersist()
+    stages += "exact_dedup" -> exact.count()
+
+    // 4. Near-dup dedup: q24p sketch (xxhash64 minhash, 8 bands × 2) →
+    // exact-Jaccard verify → drop the larger url of every verified pair
+    // (deterministic union-drop; the clustering variant is q35).
+    val sk = exact
+      .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
+      .withColumn("sh", sh3(col("toks")))
+      .select(col("url"),
+        array_sort(transform(col("sh"), x => xxhash64(x))).as("hsh"),
+        transform(sequence(lit(0), lit(15)),
+          j => array_min(transform(col("sh"), t => xxhash64(j, t)))).as("sigs"))
+      .localCheckpoint()
+    val bands = sk.select(col("url"),
+        explode(sequence(lit(0), lit(7))).as("band_id"), col("sigs"))
+      .withColumn("band_sig",
+        xxhash64(col("band_id"), concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
+      .select("url", "band_id", "band_sig")
+    val cand = bands.withColumnRenamed("url", "url_a").hint("shuffle_hash")
+      .join(bands.withColumnRenamed("url", "url_b"), Seq("band_id", "band_sig"))
+      .where(col("url_a") < col("url_b"))
+      .select("url_a", "url_b").distinct()
+    val dropUrls = cand
+      .join(sk.select(col("url").as("url_a"), col("hsh").as("h_a")), Seq("url_a"))
+      .join(sk.select(col("url").as("url_b"), col("hsh").as("h_b")), Seq("url_b"))
+      .withColumn("c", call_function("sorted_intersect_count", col("h_a"), col("h_b")))
+      .where(col("c").cast("double") /
+        (size(col("h_a")) + size(col("h_b")) - col("c")).cast("double") >= lit(0.5))
+      .select(col("url_b").as("url")).distinct()
+    val nearDeduped = exact.join(dropUrls, Seq("url"), "left_anti").persist()
+    exact.unpersist()
+    stages += "near_dedup" -> nearDeduped.count()
+
+    // 5. Decontamination (optional): drop docs sharing a 5-gram with the
+    // eval set; the eval shingle set broadcasts (q60 shape).
+    val clean = if (a.evalPath.nonEmpty) {
+      val evalSh = spark.read.parquet(a.evalPath)
+        .select(explode(sh5(tokens(col("text")))).as("shingle")).distinct()
+      val contaminated = nearDeduped
+        .select(col("url"), explode(sh5(col("toks"))).as("shingle"))
+        .join(broadcast(evalSh), Seq("shingle"))
+        .select("url").distinct()
+      nearDeduped.join(contaminated, Seq("url"), "left_anti").persist()
+    } else nearDeduped
+    stages += "decontaminated" -> clean.count()
+
+    // 6. Token-window chunking (q57 shape).
+    val w = a.window; val st = a.stride
+    val windows = clean
+      .withColumn("n", size(col("toks")))
+      .withColumn("win_id", explode(sequence(lit(0),
+        ceil(greatest(col("n") - w, lit(0)).cast("double") / st).cast("int"))))
+      .withColumn("win", slice(col("toks"), col("win_id") * st + 1, lit(w)))
+      .select(col("url"), col("lang"), col("win_id"),
+        size(col("win")).as("n_toks"),
+        concat_ws(" ", col("win")).as("window_text")).persist()
+    stages += "windows" -> windows.count()
+
+    // 7. Stratified sampling (q58 thresholds: en 80% / de 50% / * 20%),
+    // keyed on (url, win_id) so the sample is reproducible.
+    val h = substring(md5(concat(col("url"), lit("#"), col("win_id"))), 1, 2)
+    val sampled = windows.where(
+      when(col("lang") === "en", h < "cc")
+        .when(col("lang") === "de", h < "80")
+        .otherwise(h < "33"))
+    sampled.write.mode("overwrite").parquet(s"${a.out}/training_windows")
+    val nSampled = spark.read.parquet(s"${a.out}/training_windows").count()
+    stages += "sampled" -> nSampled
+    windows.unpersist(); clean.unpersist()
+    if (clean ne nearDeduped) nearDeduped.unpersist()
+
+    stages.result()
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parseArgs(argv)
+    val spark = SparkUtil.session("graft-corpus-pipeline")
+    val t0 = System.nanoTime()
+    val stages = run(spark, a)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val stageJson = stages.map { case (k, v) => s""""$k":$v""" }.mkString(",")
+    println(f"""{"pipeline":"corpus","stages":{$stageJson},"sec":$secs%.3f}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.app.CorpusPipeline
+import graft.app.CorpusPipeline.Args
+import org.apache.spark.sql.functions._
+
+/** The one-command training-data pipeline: stage monotonicity, dedup
+  * completeness, window well-formedness, decontamination, determinism.
+  */
+class CorpusPipelineSpec extends SparkSuite {
+
+  test("end-to-end: stages shrink monotonically, output is dedup-clean and well-formed") {
+    import spark.implicits._
+    val out = tmpDir("cp_out")
+    val stages = CorpusPipeline.run(spark, Args(rows = 800, out = out)).toMap
+    // Flow: pages ≥ extracted ≥ quality ≥ exact ≥ near ≥ decontaminated.
+    assert(stages("pages") == 800)
+    assert(stages("extracted") <= stages("pages"))
+    assert(stages("quality") <= stages("extracted"))
+    assert(stages("exact_dedup") <= stages("quality"))
+    assert(stages("near_dedup") <= stages("exact_dedup"))
+    assert(stages("decontaminated") == stages("near_dedup")) // no eval set given
+    // PageGen plants ~6% dup clusters → dedup must remove something.
+    assert(stages("near_dedup") < stages("quality"))
+    // Chunking expands, sampling shrinks.
+    assert(stages("windows") >= stages("decontaminated"))
+    assert(stages("sampled") < stages("windows"))
+
+    val ws = spark.read.parquet(s"$out/training_windows")
+    assert(ws.count() == stages("sampled"))
+    // Windows are ≤50 tokens and text matches the token count.
+    val bad = ws.where(col("n_toks") > 50 ||
+      size(split(col("window_text"), " ")) =!= col("n_toks")).count()
+    assert(bad == 0)
+    // No duplicate (url, win_id) keys.
+    assert(ws.select("url", "win_id").distinct().count() == ws.count())
+
+    // Determinism: a rerun writes the identical sample.
+    val out2 = tmpDir("cp_out2")
+    CorpusPipeline.run(spark, Args(rows = 800, out = out2))
+    val a = ws.select("url", "win_id", "window_text").as[(String, Int, String)]
+      .collect().sorted
+    val b = spark.read.parquet(s"$out2/training_windows")
+      .select("url", "win_id", "window_text").as[(String, Int, String)]
+      .collect().sorted
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("decontamination stage drops exactly the eval-overlapping docs") {
+    import spark.implicits._
+    val out = tmpDir("cp_eval_out")
+    val evalDir = tmpDir("cp_eval")
+    // Build the eval set FROM two extracted documents — guaranteed overlap.
+    val base = CorpusPipeline.run(spark, Args(rows = 300, out = out)).toMap
+    val twoTexts = spark.read.parquet(s"$out/training_windows")
+      .select(col("window_text").as("text")).limit(2)
+    twoTexts.write.mode("overwrite").parquet(evalDir)
+
+    val out2 = tmpDir("cp_eval_out2")
+    val stages = CorpusPipeline.run(spark,
+      Args(rows = 300, out = out2, evalPath = evalDir)).toMap
+    assert(stages("decontaminated") < stages("near_dedup"),
+      s"eval overlap must drop documents: $stages")
+    assert(base("near_dedup") == stages("near_dedup")) // same corpus upstream
+  }
+}
