@@ -47,23 +47,41 @@ object PdfParser {
       val topObjs = scanObjects(s)
       if (topObjs.isEmpty) return Left("no PDF objects found")
 
-      // Encrypted files: strings/streams are ciphertext — refuse loudly
-      // (honest error beats silent garbage; reference relies on PyMuPDF's
-      // decryption, out of the deterministic rebuild's scope). /Encrypt
-      // appears in the classic trailer dict or the xref-stream dict.
-      val encrypted = {
-        val trailerHasIt = Option(s.lastIndexOf("trailer")).filter(_ >= 0).exists { tpos =>
+      // Encrypted files (/Encrypt in the classic trailer dict or the
+      // xref-stream dict): the RC4 standard-handler subset with an EMPTY
+      // user password decrypts in place (PdfCrypt — the common crawl
+      // case: "encrypted" only to restrict printing/copying). AES and
+      // real password protection refuse loudly — honest error beats
+      // silent garbage (the reference gets decryption from PyMuPDF).
+      val trailerDict: Option[PDict] = {
+        val classic = Option(s.lastIndexOf("trailer")).filter(_ >= 0).flatMap { tpos =>
           parseValueAt(s, s.indexOf("<<", tpos)).collect { case (d: PDict, _) => d }
-            .exists(_.v.contains("Encrypt"))
         }
-        trailerHasIt || topObjs.values.exists(o =>
-          o.dict.v.get("Type").contains(PName("XRef")) && o.dict.v.contains("Encrypt"))
+        classic.filter(_.v.contains("Encrypt")).orElse(
+          topObjs.values.collectFirst {
+            case o if o.dict.v.get("Type").contains(PName("XRef")) &&
+              o.dict.v.contains("Encrypt") => o.dict
+          }).orElse(classic)
       }
-      if (encrypted) return Left("encrypted PDF not supported")
+      val decryptedTop: Map[Int, PObj] =
+        trailerDict.flatMap(td => td.v.get("Encrypt").map(td -> _)) match {
+          case None => topObjs
+          case Some((td, encVal)) =>
+            val encNum = encVal match { case PRef(n) => Some(n); case _ => None }
+            val encDict = encVal match {
+              case PRef(n) => topObjs.get(n).map(_.dict)
+              case d: PDict => Some(d)
+              case _ => None
+            }
+            decryptAll(topObjs, td, encDict, encNum) match {
+              case Left(err) => return Left(err)
+              case Right(m) => m
+            }
+        }
 
       // PDF 1.5+: objects may live inside compressed object streams
       // (/Type /ObjStm) — invisible to the byte scan until inflated.
-      val objs = expandObjectStreams(topObjs)
+      val objs = expandObjectStreams(decryptedTop)
 
       def deref(v: PVal): PVal = v match {
         case PRef(n) => objs.get(n).map(_.dict).getOrElse(PNull) match {
@@ -431,6 +449,61 @@ object PdfParser {
     * objects never carry streams (spec). Top-level definitions win on
     * number collisions (a later incremental update would be top-level).
     */
+  /** Decrypt every object's strings and stream with the RC4 standard
+    * handler (empty user password), or explain why we can't. The
+    * /Encrypt dict object itself and XRef streams stay plaintext per
+    * spec; ObjStm streams decrypt here so expansion sees cleartext
+    * (their inner objects are NOT separately encrypted). Generation
+    * numbers are taken as 0 (the byte scan's convention; nonzero gens
+    * are vanishingly rare in crawl PDFs).
+    */
+  private def decryptAll(
+      objs: Map[Int, PObj],
+      trailer: PDict,
+      encDict: Option[PDict],
+      encNum: Option[Int]): Either[String, Map[Int, PObj]] = {
+    val enc = encDict.getOrElse(return Left("encrypted PDF: unresolvable /Encrypt"))
+    def name(k: String): Option[String] = enc.v.get(k).collect { case PName(n) => n }
+    def int(k: String, dflt: Int): Int = enc.v.get(k).collect { case PNum(n) => n.toInt }.getOrElse(dflt)
+    if (!name("Filter").contains("Standard"))
+      return Left(s"encrypted PDF: unsupported handler ${name("Filter").getOrElse("?")}")
+    val v = int("V", 0); val r = int("R", 0)
+    if (v > 2 || r > 3)
+      return Left(s"encrypted PDF: unsupported V=$v R=$r (AES crypt filters)")
+    def strBytes(x: PVal): Array[Byte] = x match {
+      case PStr(sv) => sv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case _ => Array.emptyByteArray
+    }
+    val o = enc.v.get("O").map(strBytes).getOrElse(Array.emptyByteArray)
+    val u = enc.v.get("U").map(strBytes).getOrElse(Array.emptyByteArray)
+    val p = enc.v.get("P").collect { case PNum(n) => n.toInt }.getOrElse(-1)
+    val id = trailer.v.get("ID").collect { case PArr(items) if items.nonEmpty => strBytes(items.head) }
+      .getOrElse(Array.emptyByteArray)
+    if (o.length < 32 || u.length < 16) return Left("encrypted PDF: malformed O/U entries")
+    val key = PdfCrypt.tryEmptyUserPassword(o, u, p, id, r, int("Length", 40))
+      .getOrElse(return Left("encrypted PDF: password required"))
+
+    def decStr(bytes: Array[Byte], k: Array[Byte]): String =
+      new String(PdfCrypt.rc4(k, bytes), java.nio.charset.StandardCharsets.ISO_8859_1)
+    def decVal(x: PVal, k: Array[Byte]): PVal = x match {
+      case PStr(sv) => PStr(decStr(sv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), k))
+      case PArr(items) => PArr(items.map(decVal(_, k)))
+      case PDict(m) => PDict(m.map { case (kk, vv) => kk -> decVal(vv, k) })
+      case other => other
+    }
+    Right(objs.map { case (num, obj) =>
+      val isEncryptObj = encNum.contains(num)
+      val isXref = obj.dict.v.get("Type").contains(PName("XRef"))
+      if (isEncryptObj || isXref) num -> obj
+      else {
+        val k = PdfCrypt.objKey(key, num, 0)
+        num -> PObj(
+          decVal(obj.dict, k).asInstanceOf[PDict],
+          obj.stream.map(PdfCrypt.rc4(k, _)))
+      }
+    })
+  }
+
   private def expandObjectStreams(objs: Map[Int, PObj]): Map[Int, PObj] = {
     val extra = HashMap[Int, PObj]()
     objs.values.foreach { o =>

@@ -156,6 +156,114 @@ object PdfWriter {
     out.toByteArray
   }
 
+  /** Re-emit a `build()` PDF encrypted with the RC4 standard handler
+    * (R=3, V=2, 128-bit, EMPTY user password — the restrict-printing
+    * crawl case PdfCrypt decrypts). Streams are RC4'd in place (length
+    * preserved, /Length stays valid); literal strings re-emit as hex
+    * strings (ciphertext can contain unbalanced parens); the xref table
+    * is rebuilt for the shifted offsets and the trailer gains
+    * /Encrypt + /ID. Only classic `build()` layouts are supported.
+    */
+  def encryptRc4(clear: Array[Byte]): Array[Byte] = {
+    val s = new String(clear, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val empty = Array.emptyByteArray
+    val id16 = java.security.MessageDigest.getInstance("MD5").digest(clear)
+    val perm = -44
+    val o = PdfCrypt.computeO(empty, empty, 3, 128)
+    val key = PdfCrypt.fileKey(empty, o, perm, id16, 3, 128)
+    val u = PdfCrypt.computeU(key, id16, 3)
+    def hexStr(b: Array[Byte]): String = "<" + b.map(x => f"$x%02x").mkString + ">"
+
+    def unescape(lit: String): String = {
+      val sb = new java.lang.StringBuilder(lit.length)
+      var i = 0
+      while (i < lit.length) {
+        val c = lit.charAt(i)
+        if (c == '\\' && i + 1 < lit.length) {
+          lit.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); case 'r' => sb.append('\r')
+            case 't' => sb.append('\t'); case other => sb.append(other)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+    // Encrypt every literal string in a dict region, re-emitting as hex.
+    def encStrings(region: String, k: Array[Byte]): String = {
+      val sb = new java.lang.StringBuilder(region.length + 32)
+      var i = 0
+      while (i < region.length) {
+        val c = region.charAt(i)
+        if (c == '(') {
+          var j = i + 1
+          var done = false
+          while (!done && j < region.length) {
+            val cj = region.charAt(j)
+            if (cj == '\\') j += 2
+            else if (cj == ')') done = true
+            else j += 1
+          }
+          val raw = unescape(region.substring(i + 1, j))
+          val bytes = raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          sb.append(hexStr(PdfCrypt.rc4(k, bytes)))
+          i = j + 1
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    // Collect (num, transformed body) in file order.
+    val objsOut = scala.collection.mutable.ArrayBuffer[(Int, Array[Byte])]()
+    var maxNum = 0
+    var pos = 0
+    val objRe = java.util.regex.Pattern.compile("(\\d+) 0 obj\\n")
+    val m = objRe.matcher(s)
+    while (m.find(pos)) {
+      val num = m.group(1).toInt
+      maxNum = math.max(maxNum, num)
+      val bodyStart = m.end()
+      val bodyEnd = s.indexOf("\nendobj\n", bodyStart)
+      val body = s.substring(bodyStart, bodyEnd)
+      val k = PdfCrypt.objKey(key, num, 0)
+      val out = new ByteArrayOutputStream(body.length + 64)
+      val sIdx = body.indexOf("stream\n")
+      if (sIdx >= 0) {
+        val streamStart = sIdx + 7
+        val streamEnd = body.indexOf("\nendstream", streamStart)
+        out.write(latin1(encStrings(body.substring(0, sIdx), k) + "stream\n"))
+        out.write(PdfCrypt.rc4(k,
+          body.substring(streamStart, streamEnd)
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+        out.write(latin1("\nendstream"))
+      } else out.write(latin1(encStrings(body, k)))
+      objsOut += ((num, out.toByteArray))
+      pos = bodyEnd + 8
+    }
+    val encNum = maxNum + 1
+    objsOut += ((encNum, latin1(
+      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $perm " +
+      s"/O ${hexStr(o)} /U ${hexStr(u)} >>")))
+
+    val out = new ByteArrayOutputStream(clear.length + 512)
+    out.write(latin1("%PDF-1.4\n"))
+    val offsets = new Array[Long](encNum + 1)
+    objsOut.foreach { case (num, body) =>
+      offsets(num) = out.size().toLong
+      out.write(latin1(s"$num 0 obj\n"))
+      out.write(body)
+      out.write(latin1("\nendobj\n"))
+    }
+    val xrefPos = out.size()
+    out.write(latin1(s"xref\n0 ${encNum + 1}\n"))
+    out.write(latin1("0000000000 65535 f \n"))
+    (1 to encNum).foreach(n => out.write(latin1(f"${offsets(n)}%010d 00000 n \n")))
+    out.write(latin1(
+      s"trailer\n<< /Size ${encNum + 1} /Root 1 0 R /Encrypt $encNum 0 R " +
+      s"/ID [${hexStr(id16)} ${hexStr(id16)}] >>\nstartxref\n$xrefPos\n%%EOF\n"))
+    out.toByteArray
+  }
+
   /** Build the SAME document in PDF 1.5+ form: all non-stream objects
     * (catalog, page tree, font, page dicts) packed into one compressed
     * `/Type /ObjStm` object stream; cross references emitted as a

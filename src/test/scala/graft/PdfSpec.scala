@@ -151,12 +151,53 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
-  test("encrypted PDF returns an explicit error, not garbage") {
+  test("encrypted PDF (RC4, empty user password) decrypts to the identical document") {
+    val clear = PdfWriter.build(Seq(
+      PageSpec(textBlocks = Seq("secret text body", "second (escaped) line\nwith break")),
+      PageSpec(textBlocks = Seq("page two"), imageAlts = Seq("an alt description"))))
+    val enc = PdfWriter.encryptRc4(clear)
+    val encS = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // It is really ciphertext: no plaintext content survives.
+    assert(!encS.contains("secret text"))
+    assert(!encS.contains("an alt description"))
+    assert(encS.contains("/Encrypt"))
+    // And it parses to the byte-identical document.
+    assert(PdfParser.parse(enc) == PdfParser.parse(clear))
+  }
+
+  test("kernel extracts encrypted PDFs byte-identically to their clear form") {
+    val proc = graft.extract.Processor.default
+    def extractOf(bytes: Array[Byte]) = proc.extract(
+      graft.model.KernelPage("https://t.example/enc", bytes, "en"), "balanced")
+    val clear = PdfWriter.build(Seq(
+      PageSpec(textBlocks = Seq("alpha beta gamma", "delta")),
+      PageSpec(imageAlts = Seq("figure description"))))
+    val a = extractOf(clear)
+    val b = extractOf(PdfWriter.encryptRc4(clear))
+    assert(b.success)
+    assert(a.text == b.text && a.word_count == b.word_count &&
+      a.pdf_type == b.pdf_type && a.total_pages == b.total_pages)
+  }
+
+  test("encrypted PDF: unsupported/locked variants return explicit errors") {
     val classic = PdfWriter.build(Seq(PageSpec(textBlocks = Seq("secret"))))
     val s = new String(classic, java.nio.charset.StandardCharsets.ISO_8859_1)
-    val withEncrypt = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
-    val res = PdfParser.parse(withEncrypt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-    assert(res == Left("encrypted PDF not supported"))
+    // Dangling /Encrypt reference.
+    val dangling = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+    assert(PdfParser.parse(dangling.getBytes(
+      java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Left("encrypted PDF: unresolvable /Encrypt"))
+    // AES crypt filters (V=4/R=4) refuse loudly.
+    val enc = PdfWriter.encryptRc4(classic)
+    val aes = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 4 /R 4")
+    assert(PdfParser.parse(aes.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Left("encrypted PDF: unsupported V=4 R=4 (AES crypt filters)"))
+    // A real (non-empty) user password: tampered /U never matches.
+    val locked = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("/U <[0-9a-f]+>", "/U <" + "00" * 32 + ">")
+    assert(PdfParser.parse(locked.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Left("encrypted PDF: password required"))
   }
 
   test("corpus golden: modern-layout PDFs extract byte-identically to classic") {
