@@ -164,6 +164,37 @@ object WebOps {
                symbol_ratio, ellipsis_frac,
                (mean_word_len >= 3 AND mean_word_len <= 10 AND alpha_frac >= 0.8
                 AND symbol_ratio <= 0.1 AND ellipsis_frac <= 0.3) AS keep
+             FROM m ORDER BY doc_id""")),
+
+    // ---- Repetition filter (Gopher A1.1 "duplicate n-grams" family):
+    // fraction of token trigrams that are repeats of an earlier trigram
+    // (1 - distinct/total). High values mark template/spam text a
+    // curation pass drops. Map-only.
+    ("q61_repetition_filter",
+      (s, d) => {
+        val t = tbl(s, d, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .where(size(col("toks")) >= 3)
+          .withColumn("n_tri", (size(col("toks")) - 2))
+          .withColumn("tris",
+            transform(sequence(lit(0), size(col("toks")) - 3),
+              i => concat_ws(" ", element_at(col("toks"), i + 1),
+                element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+        t.withColumn("dup_tri_frac",
+            round(lit(1.0) - size(array_distinct(col("tris"))).cast("double") /
+              col("n_tri"), 6))
+          .select(col("doc_id"), col("n_tri"),
+            col("dup_tri_frac"), (col("dup_tri_frac") <= 0.3).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             m AS (SELECT doc_id, len(toks) - 2 AS n_tri,
+                     list_transform(range(1, greatest(len(toks)-1,1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tris
+                   FROM t WHERE len(toks) >= 3)
+             SELECT doc_id, CAST(n_tri AS INT) AS n_tri,
+               round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / n_tri, 6) AS dup_tri_frac,
+               (round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / n_tri, 6) <= 0.3) AS keep
              FROM m ORDER BY doc_id"""))
   )
 
