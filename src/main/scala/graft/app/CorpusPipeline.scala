@@ -74,11 +74,14 @@ object CorpusPipeline {
     graft.plans.GraftFunctions.ensureRegistered(spark)
     val stages = Vector.newBuilder[(String, Long)]
 
-    val pages =
-      (if (a.input.nonEmpty) TableIO.read(spark, a.input)
-       else PageGen.generate(spark, a.rows, a.seed).toDF())
-        .select("url", "html", "lang").as[KernelPage]
-    stages += "pages" -> pages.count()
+    val pagesDf =
+      if (a.input.nonEmpty) TableIO.read(spark, a.input)
+      else PageGen.generate(spark, a.rows, a.seed).toDF()
+    val pages = pagesDf.select("url", "html", "lang").as[KernelPage]
+    // Count the UNTYPED frame: for a parquet input Spark answers this
+    // from footer metadata without materializing a single row (the
+    // typed count would deserialize the whole table just for a metric).
+    stages += "pages" -> pagesDf.count()
 
     // 1. Extraction (slim schema — the corpus path).
     val extracted = ExtractJob.extractKernel(pages, a.quality, slim = true)
@@ -150,7 +153,10 @@ object CorpusPipeline {
     // eval set; the eval shingle set broadcasts (q60 shape).
     val clean = if (a.evalPath.nonEmpty) {
       val evalSh = spark.read.parquet(a.evalPath)
-        .select(explode(sh5(tokens(col("text")))).as("shingle")).distinct()
+        // Materialize toks first — inlining tokens(text) into the
+        // shingle lambda re-runs the regex per element_at (see q60).
+        .withColumn("toks", tokens(col("text")))
+        .select(explode(sh5(col("toks"))).as("shingle")).distinct()
       val contaminated = nearDeduped
         .select(col("url"), explode(sh5(col("toks"))).as("shingle"))
         .join(broadcast(evalSh), Seq("shingle"))

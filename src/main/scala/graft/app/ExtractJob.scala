@@ -219,10 +219,19 @@ object ExtractJob {
       val docs = rows.map(_.docs).sum
       val errors = rows.map(_.error_docs).sum
       val status = if (rows.nonEmpty) "completed" else "noop"
+      // run_id/out are caller-supplied — escape them or a quote in a
+      // path produces an unparseable notification for a job that
+      // actually succeeded.
+      def js(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
       val json =
-        s"""{"job":"extract","run_id":"${a.runId}","status":"$status",""" +
+        s"""{"job":"extract","run_id":"${js(a.runId)}","status":"$status",""" +
         s""""docs":$docs,"error_docs":$errors,"buckets_done":${rows.length},""" +
-        s""""out":"${a.out}"}"""
+        s""""out":"${js(a.out)}"}"""
       val target = java.nio.file.Paths.get(a.notifyPath)
       if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
       val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")

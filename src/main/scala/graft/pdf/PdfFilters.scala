@@ -311,6 +311,33 @@ object PdfFilters {
   // ---- PNG predictors (DecodeParms /Predictor >= 10) ----------------------
 
   /** Undo per-row PNG prediction: each row is [filterType | bytes]. */
+  /** TIFF Predictor 2 (horizontal differencing): each sample stores
+    * the delta from the sample one pixel to its left; decoding adds the
+    * previous pixel's component back, row by row. Only the 8-bit
+    * component case is differenced bytewise per spec; other depths pass
+    * through unchanged (rare in crawl PDFs, and a wrong un-difference
+    * is worse than none).
+    */
+  def tiffUnpredict(data: Array[Byte], columns: Int, colors: Int = 1,
+      bitsPerComponent: Int = 8): Array[Byte] = {
+    if (bitsPerComponent != 8) return data
+    val rowLen = columns * colors
+    if (rowLen <= 0 || data.length < rowLen) return data
+    val out = data.clone()
+    var row = 0
+    val nRows = data.length / rowLen
+    while (row < nRows) {
+      val base = row * rowLen
+      var i = colors
+      while (i < rowLen) {
+        out(base + i) = (out(base + i) + out(base + i - colors)).toByte
+        i += 1
+      }
+      row += 1
+    }
+    out
+  }
+
   def pngUnpredict(data: Array[Byte], columns: Int, colors: Int = 1,
       bitsPerComponent: Int = 8): Array[Byte] = {
     val bpp = math.max(1, colors * bitsPerComponent / 8)

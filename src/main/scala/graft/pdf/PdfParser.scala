@@ -433,9 +433,13 @@ object PdfParser {
         case _ => data
       }
       val predictor = num(parm, "Predictor", 1)
-      if (predictor >= 10 && (f.startsWith("Flate") || f.startsWith("LZW") ||
-          f == "Fl" || f == "LZW"))
+      val isPredictable = f.startsWith("Flate") || f.startsWith("LZW") ||
+        f == "Fl" || f == "LZW"
+      if (predictor >= 10 && isPredictable)
         PdfFilters.pngUnpredict(decoded, num(parm, "Columns", 1),
+          num(parm, "Colors", 1), num(parm, "BitsPerComponent", 8))
+      else if (predictor == 2 && isPredictable)
+        PdfFilters.tiffUnpredict(decoded, num(parm, "Columns", 1),
           num(parm, "Colors", 1), num(parm, "BitsPerComponent", 8))
       else decoded
     }
@@ -506,7 +510,12 @@ object PdfParser {
 
   private def expandObjectStreams(objs: Map[Int, PObj]): Map[Int, PObj] = {
     val extra = HashMap[Int, PObj]()
-    objs.values.foreach { o =>
+    // Deterministic order: containers ascend by object number, and the
+    // HIGHEST-numbered ObjStm defining an object wins (keep-first over
+    // the descending walk) — incremental updates append higher-numbered
+    // objects, so this approximates "latest revision wins" without an
+    // xref; Map.values order would make collisions nondeterministic.
+    objs.toSeq.sortBy(-_._1).map(_._2).foreach { o =>
       if (o.dict.v.get("Type").contains(PName("ObjStm")) && o.stream.isDefined) {
         try {
           val data = applyFilters(o.stream.get, o.dict)

@@ -219,24 +219,37 @@ object PdfWriter {
     var pos = 0
     val objRe = java.util.regex.Pattern.compile("(\\d+) 0 obj\\n")
     val m = objRe.matcher(s)
+    val lenRe = java.util.regex.Pattern.compile("/Length (\\d+)")
     while (m.find(pos)) {
       val num = m.group(1).toInt
       maxNum = math.max(maxNum, num)
       val bodyStart = m.end()
-      val bodyEnd = s.indexOf("\nendobj\n", bodyStart)
-      val body = s.substring(bodyStart, bodyEnd)
       val k = PdfCrypt.objKey(key, num, 0)
-      val out = new ByteArrayOutputStream(body.length + 64)
-      val sIdx = body.indexOf("stream\n")
-      if (sIdx >= 0) {
-        val streamStart = sIdx + 7
-        val streamEnd = body.indexOf("\nendstream", streamStart)
-        out.write(latin1(encStrings(body.substring(0, sIdx), k) + "stream\n"))
-        out.write(PdfCrypt.rc4(k,
-          body.substring(streamStart, streamEnd)
-            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
-        out.write(latin1("\nendstream"))
-      } else out.write(latin1(encStrings(body, k)))
+      val out = new ByteArrayOutputStream(256)
+      // Stream bodies are bounded by the head dict's /Length, NOT by
+      // searching for "endstream"/"endobj" markers — arbitrary deflate
+      // bytes may contain either marker and would silently truncate the
+      // object (and desync the whole walk).
+      val sIdx = s.indexOf("stream\n", bodyStart)
+      val eIdx = s.indexOf("\nendobj\n", bodyStart)
+      val bodyEnd =
+        if (sIdx >= 0 && (eIdx < 0 || sIdx < eIdx)) {
+          val head = s.substring(bodyStart, sIdx)
+          val lm = lenRe.matcher(head)
+          val streamStart = sIdx + 7
+          val streamEnd =
+            if (lm.find()) streamStart + lm.group(1).toInt
+            else s.indexOf("\nendstream", streamStart)
+          out.write(latin1(encStrings(head, k) + "stream\n"))
+          out.write(PdfCrypt.rc4(k,
+            s.substring(streamStart, streamEnd)
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+          out.write(latin1("\nendstream"))
+          s.indexOf("\nendobj\n", streamEnd)
+        } else {
+          out.write(latin1(encStrings(s.substring(bodyStart, eIdx), k)))
+          eIdx
+        }
       objsOut += ((num, out.toByteArray))
       pos = bodyEnd + 8
     }

@@ -118,12 +118,21 @@ object TrainOps {
               i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2),
                 element_at(toks, i + 3), element_at(toks, i + 4), element_at(toks, i + 5)))))
             .otherwise(array().cast("array<string>"))
+        // Tokenize into a materialized column first, and use
+        // explode_OUTER: a plain explode makes Catalyst infer a
+        // `size(sh) > 0 AND isnotnull(sh)` predicate and push it into
+        // the scan filter with the WHOLE tokenize→shingle pipeline
+        // inlined (the q24 round-1 pathology — measured 40s vs 1.5s at
+        // sf0.1). Outer explode emits a null row for empty docs instead,
+        // which the inner shingle join / distinct drop for free.
         val t = tbl(s, d, "documents")
-          .withColumn("sh", sh5(tokens(col("text"))))
+          .withColumn("toks", tokens(col("text")))
+          .withColumn("sh", sh5(col("toks")))
         val eval_ = t.where(col("doc_id") % 50 === 0)
-          .select(explode(col("sh")).as("shingle")).distinct()
+          .select(explode_outer(col("sh")).as("shingle"))
+          .where(col("shingle").isNotNull).distinct()
         val corpus = t.where(col("doc_id") % 50 =!= 0)
-        val hits = corpus.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        val hits = corpus.select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
           .join(broadcast(eval_), Seq("shingle"))
           .groupBy("doc_id").agg(countDistinct("shingle").as("n_shared"))
         corpus.select("doc_id")

@@ -106,8 +106,8 @@ object Warc {
         } else {
           if (tpe.equalsIgnoreCase("response") && url.nonEmpty) {
             val payload = java.util.Arrays.copyOfRange(bytes, j, (j + len).toInt)
-            val (transportCharset, rawBody) = splitHttpPayload(payload)
-            val body = normalizeCharset(rawBody, transportCharset)
+            val (transportCharset, mediaType, rawBody) = splitHttpPayload(payload)
+            val body = normalizeCharset(rawBody, transportCharset, mediaType)
             val ts = try new Timestamp(java.time.Instant.from(Iso.parse(date)).toEpochMilli)
               catch { case _: Exception => new Timestamp(0L) }
             out += Page(url, ts, body, "", "")
@@ -123,7 +123,7 @@ object Warc {
     * payload that doesn't start with `HTTP/` is returned as-is.
     */
   def stripHttpHeaders(payload: Array[Byte]): Array[Byte] =
-    splitHttpPayload(payload)._2
+    splitHttpPayload(payload)._3
 
   private val CharsetParam =
     java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([a-zA-Z0-9._\\-]+)")
@@ -132,9 +132,9 @@ object Warc {
     * body). A payload that doesn't start with `HTTP/` is returned whole
     * with no charset.
     */
-  def splitHttpPayload(payload: Array[Byte]): (Option[String], Array[Byte]) = {
+  def splitHttpPayload(payload: Array[Byte]): (Option[String], Option[String], Array[Byte]) = {
     if (payload.length < 5 ||
-        !new String(payload, 0, 5, ISO_8859_1).equals("HTTP/")) return (None, payload)
+        !new String(payload, 0, 5, ISO_8859_1).equals("HTTP/")) return (None, None, payload)
     // Find the first blank line (\r\n\r\n or \n\n).
     var i = 0
     val n = payload.length
@@ -146,19 +146,32 @@ object Warc {
           else -1
         if (bodyStart > 0) {
           val head = new String(payload, 0, i, ISO_8859_1)
-          val cs = head.split('\n').iterator.map(_.stripSuffix("\r"))
+          val ctLine = head.split('\n').iterator.map(_.stripSuffix("\r"))
             .find(_.toLowerCase.startsWith("content-type:"))
-            .flatMap { ct =>
-              val m = CharsetParam.matcher(ct)
-              if (m.find()) Some(m.group(1)) else None
-            }
-          return (cs, java.util.Arrays.copyOfRange(payload, bodyStart, n))
+          val cs = ctLine.flatMap { ct =>
+            val m = CharsetParam.matcher(ct)
+            if (m.find()) Some(m.group(1)) else None
+          }
+          val mediaType = ctLine.map(
+            _.substring("content-type:".length).trim
+              .takeWhile(_ != ';').trim.toLowerCase)
+          return (cs, mediaType, java.util.Arrays.copyOfRange(payload, bodyStart, n))
         }
       }
       i += 1
     }
-    (None, payload) // headers never ended — treat whole payload as body
+    (None, None, payload) // headers never ended — treat whole payload as body
   }
+
+  /** Is this Content-Type media type textual (charset applies)? Crawl
+    * servers routinely emit bogus `charset=` params on binaries; a
+    * transcode there irreversibly corrupts the payload, so charset
+    * normalization is gated on the media type actually being text.
+    */
+  def isTextualMediaType(mt: String): Boolean =
+    mt.startsWith("text/") || mt.endsWith("+xml") || mt.endsWith("+json") ||
+      mt == "application/xml" || mt == "application/json" ||
+      mt == "application/javascript" || mt == "application/ecmascript"
 
   /** Charset normalization at the ingestion edge: when the TRANSPORT
     * (HTTP Content-Type) charset makes the page decode differently than
@@ -170,9 +183,13 @@ object Warc {
     * self-description already matches the transport pass through
     * byte-identical.
     */
-  def normalizeCharset(body: Array[Byte], transport: Option[String]): Array[Byte] = {
+  def normalizeCharset(body: Array[Byte], transport: Option[String],
+      mediaType: Option[String] = None): Array[Byte] = {
     import graft.text.Charsets
     if (body.isEmpty || graft.pdf.PdfParser.isPdf(body)) return body
+    // A transport charset only means anything on a textual media type —
+    // never transcode a binary because its server lied about charset.
+    if (mediaType.exists(mt => !isTextualMediaType(mt))) return body
     val effective = Charsets.sniff(body, transport)
     val selfSniff = Charsets.sniff(body, None)
     if (effective == selfSniff) body

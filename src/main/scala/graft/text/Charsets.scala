@@ -88,7 +88,14 @@ object Charsets {
     if (n == 0 || !hasCharsetToken(b, limit)) return None
     val prefix = new String(b, 0, n, StandardCharsets.ISO_8859_1)
     val m = MetaCharset.matcher(prefix)
-    if (m.find()) forLabel(m.group(1)) else None
+    if (m.find()) forLabel(m.group(1)).map { cs =>
+      // WHATWG meta prescan: a UTF-16 label found by an ASCII byte scan
+      // is a lie by construction (real UTF-16 bytes wouldn't match the
+      // scan) — the spec maps it to UTF-8.
+      if (cs == StandardCharsets.UTF_16LE || cs == StandardCharsets.UTF_16BE)
+        StandardCharsets.UTF_8
+      else cs
+    } else None
   }
 
   /** Full sniff: BOM > transport (HTTP Content-Type) charset > meta tag

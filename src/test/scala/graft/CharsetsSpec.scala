@@ -68,6 +68,18 @@ class CharsetsSpec extends AnyFunSuite {
     assert(Charsets.decode(utf16be) == "<p>ü</p>")
   }
 
+  test("a meta-declared utf-16 label maps to UTF-8 (WHATWG prescan rule)") {
+    // If the meta tag is readable by an ASCII byte scan, the content is
+    // not UTF-16 — the label is an authoring lie the spec maps to UTF-8.
+    val page = """<html><head><meta charset="utf-16"></head><body>héllo</body></html>"""
+      .getBytes("UTF-8")
+    assert(graft.text.Charsets.sniff(page, None) == java.nio.charset.StandardCharsets.UTF_8)
+    assert(graft.text.Charsets.decode(page).contains("héllo"))
+    // A real UTF-16 BOM still wins as UTF-16.
+    val bom = Array(0xff.toByte, 0xfe.toByte) ++ "hi".getBytes("UTF-16LE")
+    assert(graft.text.Charsets.decode(bom) == "hi")
+  }
+
   test("adversarial: junk labels and malformed bytes never throw") {
     assert(Charsets.decode(null) == "")
     assert(Charsets.decode(Array.emptyByteArray) == "")

@@ -70,6 +70,26 @@ class WarcSpec extends SparkSuite {
     assert(java.util.Arrays.equals(p3(0).html, utf8Body))
   }
 
+  test("binary payloads with bogus transport charset are never transcoded") {
+    // Real crawl servers emit charset params on binaries; transcoding
+    // would corrupt every byte >= 0x80.
+    def record(ct: String, body: Array[Byte]): Array[Byte] = {
+      val head = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes("ISO-8859-1")
+      val payload = head ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://x.example/i\r\n" +
+        s"WARC-Date: 2023-11-14T22:13:20Z\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val gif = graft.media.MediaGen.gif(40, 30, seed = 9)
+    val parsed = Warc.parse(record("image/gif; charset=iso-8859-1", gif))
+    assert(java.util.Arrays.equals(parsed(0).html, gif),
+      "GIF bytes were transcoded by a bogus transport charset")
+    // Textual media types still normalize.
+    val cp = "<p>Straße</p>".getBytes(java.nio.charset.Charset.forName("windows-1252"))
+    val txt = Warc.parse(record("text/html; charset=windows-1252", cp))
+    assert(new String(txt(0).html, "UTF-8").contains("Straße"))
+  }
+
   test("non-response records and malformed garbage are skipped") {
     val good = Warc.write(Seq(page("https://a.example/x", "<p>keep</p>")))
     val info = ("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n")
