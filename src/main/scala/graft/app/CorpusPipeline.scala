@@ -153,12 +153,15 @@ object CorpusPipeline {
     // eval set; the eval shingle set broadcasts (q60 shape).
     val clean = if (a.evalPath.nonEmpty) {
       val evalSh = spark.read.parquet(a.evalPath)
-        // Materialize toks first — inlining tokens(text) into the
-        // shingle lambda re-runs the regex per element_at (see q60).
+        // Materialize toks first (inlining tokens(text) into the shingle
+        // lambda re-runs the regex per element_at) and explode_OUTER so
+        // Catalyst doesn't re-inline the shingle pipeline into an
+        // inferred size()>0 scan filter — the q60 pathology, BENCH.md.
         .withColumn("toks", tokens(col("text")))
-        .select(explode(sh5(col("toks"))).as("shingle")).distinct()
+        .select(explode_outer(sh5(col("toks"))).as("shingle"))
+        .where(col("shingle").isNotNull).distinct()
       val contaminated = nearDeduped
-        .select(col("url"), explode(sh5(col("toks"))).as("shingle"))
+        .select(col("url"), explode_outer(sh5(col("toks"))).as("shingle"))
         .join(broadcast(evalSh), Seq("shingle"))
         .select("url").distinct()
       nearDeduped.join(contaminated, Seq("url"), "left_anti").persist()
