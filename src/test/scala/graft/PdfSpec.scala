@@ -179,6 +179,24 @@ class PdfSpec extends AnyFunSuite {
       a.pdf_type == b.pdf_type && a.total_pages == b.total_pages)
   }
 
+  test("encrypted PDF survives truncation/mutation fuzz without throwing") {
+    val enc = PdfWriter.encryptRc4(PdfWriter.build(Seq(
+      PageSpec(textBlocks = Seq("alpha", "beta")), PageSpec(imageAlts = Seq("alt")))))
+    // Truncation at every stride: parse returns Left or a partial doc,
+    // never throws — crypto paths included.
+    (0 until enc.length by 37).foreach { cut =>
+      PdfParser.parse(enc.take(cut))
+    }
+    // Byte mutations across the file (incl. the Encrypt dict, O/U hex
+    // strings, and ciphertext): same no-throw guarantee.
+    val rng = new scala.util.Random(23)
+    (1 to 60).foreach { _ =>
+      val b = enc.clone()
+      b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+      PdfParser.parse(b)
+    }
+  }
+
   test("encrypted PDF: unsupported/locked variants return explicit errors") {
     val classic = PdfWriter.build(Seq(PageSpec(textBlocks = Seq("secret"))))
     val s = new String(classic, java.nio.charset.StandardCharsets.ISO_8859_1)
