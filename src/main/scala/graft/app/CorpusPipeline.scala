@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   *
   * Usage:
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
-  *     [--eval path] [--window W] [--stride S] [--quality q]
+  *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
   */
 object CorpusPipeline {
 
@@ -36,7 +36,8 @@ object CorpusPipeline {
       evalPath: String = "",
       window: Int = 50,
       stride: Int = 40,
-      quality: String = "balanced")
+      quality: String = "balanced",
+      cluster: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -51,6 +52,7 @@ object CorpusPipeline {
         case "--window" => a = a.copy(window = argv(i + 1).toInt); i += 2
         case "--stride" => a = a.copy(stride = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = argv(i + 1)); i += 2
+        case "--cluster" => a = a.copy(cluster = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -89,7 +91,11 @@ object CorpusPipeline {
       .select("url", "lang", "text", "word_count").persist()
     stages += "extracted" -> extracted.count()
 
-    // 2. Quality filter (Gopher subset, q56 semantics).
+    // 2. Quality filter — a deliberately LOOSER Gopher-style subset than
+    // the oracle-verified q56 operator: mean_word_len bounds [2,12] here
+    // vs q56's [3,10], and q56's symbol-ratio/ellipsis filters are
+    // omitted. The pipeline keeps marginal docs that downstream dedup
+    // would drop anyway; use queries.WebOps q56 for the strict filter.
     val withToks = extracted.withColumn("toks", tokens(col("text")))
       .withColumn("n_toks", size(col("toks")))
       .where(col("n_toks") >= 5)
@@ -121,6 +127,15 @@ object CorpusPipeline {
     // 4. Near-dup dedup: q24p sketch (xxhash64 minhash, 8 bands × 2) →
     // exact-Jaccard verify → drop the larger url of every verified pair
     // (deterministic union-drop; the clustering variant is q35).
+    // Semantics note — the union-drop and the --cluster variant differ on
+    // TRANSITIVE families. Union-drop removes the larger url of every
+    // verified pair: the survivor set contains no verified pair, but a
+    // doc may be dropped "for" a doc that was itself dropped (A~B~C with
+    // A!~C keeps only A even though C is no near-dup of A), and a star
+    // (A~C, B~C, A!~B) keeps both A and B. --cluster routes the verified
+    // pairs through q35's connected-components logic and keeps exactly
+    // ONE representative (min url) per transitive component — the
+    // standard corpus-dedup choice (collapses the star to A alone).
     val sk = exact
       .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
       .withColumn("sh", sh3(col("toks")))
@@ -138,13 +153,21 @@ object CorpusPipeline {
       .join(bands.withColumnRenamed("url", "url_b"), Seq("band_id", "band_sig"))
       .where(col("url_a") < col("url_b"))
       .select("url_a", "url_b").distinct()
-    val dropUrls = cand
+    val verified = cand
       .join(sk.select(col("url").as("url_a"), col("hsh").as("h_a")), Seq("url_a"))
       .join(sk.select(col("url").as("url_b"), col("hsh").as("h_b")), Seq("url_b"))
       .withColumn("c", call_function("sorted_intersect_count", col("h_a"), col("h_b")))
       .where(col("c").cast("double") /
         (size(col("h_a")) + size(col("h_b")) - col("c")).cast("double") >= lit(0.5))
-      .select(col("url_b").as("url")).distinct()
+      .select("url_a", "url_b")
+    val dropUrls =
+      if (a.cluster)
+        // q35-style connected components: keep the min-url representative
+        // of each TRUE cluster; no chain over-drop.
+        connectedComponents(verified)
+          .where(col("node") =!= col("label"))
+          .select(col("node").as("url")).distinct()
+      else verified.select(col("url_b").as("url")).distinct()
     val nearDeduped = exact.join(dropUrls, Seq("url"), "left_anti").persist()
     exact.unpersist()
     stages += "near_dedup" -> nearDeduped.count()

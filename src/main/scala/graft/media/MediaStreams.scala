@@ -61,7 +61,11 @@ object MediaStreams {
         // is consumed (clamped to the bytes actually present).
         dataBytes = math.min(size, (b.length - dataStart).toLong)
       }
-      pos = dataStart + size.toInt + (size.toInt & 1) // chunks are even-padded
+      // Advance in Long space: a declared chunk size near 2^31 (or sizes
+      // summing past it) would wrap an Int position negative and read
+      // out of bounds. A next position past EOF just ends the walk.
+      val next = dataStart.toLong + size + (size & 1L) // chunks are even-padded
+      pos = math.min(next, b.length.toLong).toInt
     }
     fmt match {
       case Some((rate, ch, bits)) if dataBytes >= 0 =>

@@ -55,7 +55,11 @@ object PdfParser {
       // silent garbage (the reference gets decryption from PyMuPDF).
       val trailerDict: Option[PDict] = {
         val classic = Option(s.lastIndexOf("trailer")).filter(_ >= 0).flatMap { tpos =>
-          parseValueAt(s, s.indexOf("<<", tpos)).collect { case (d: PDict, _) => d }
+          // A stray "trailer" token with no dict after it (e.g. inside an
+          // uncompressed stream of an xref-stream PDF) must not abort the
+          // whole parse via charAt(-1) in parseValueAt.
+          Option(s.indexOf("<<", tpos)).filter(_ >= 0)
+            .flatMap(parseValueAt(s, _)).collect { case (d: PDict, _) => d }
         }
         classic.filter(_.v.contains("Encrypt")).orElse(
           topObjs.values.collectFirst {
@@ -99,7 +103,8 @@ object PdfParser {
       val catalog: Option[PObj] = {
         val viaTrailer = for {
           tpos <- Option(s.lastIndexOf("trailer")).filter(_ >= 0)
-          dict <- parseValueAt(s, s.indexOf("<<", tpos)).collect { case (d: PDict, _) => d }
+          dpos <- Option(s.indexOf("<<", tpos)).filter(_ >= 0)
+          dict <- parseValueAt(s, dpos).collect { case (d: PDict, _) => d }
           root <- dict.v.get("Root").collect { case PRef(n) => n }
           obj <- objs.get(root)
         } yield obj

@@ -47,6 +47,44 @@ object QueryUtil {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Connected components over an undirected edge list by iterative
+    * min-label propagation, run to convergence (the q35 core, shared
+    * with CorpusPipeline --cluster). Input: a DataFrame whose `src`/
+    * `dst` columns hold one direction of each edge (any orderable
+    * type); both directions are derived here. Output: (node, label)
+    * where label = min node id of the component. Plan depth stays O(1)
+    * across rounds via localCheckpoint; convergence needs O(component
+    * diameter) rounds — at 10^12 scale the same loop runs with
+    * alternating large-star/small-star optimization, still plain joins.
+    * The iteration cap is a runaway guard only and fails LOUDLY.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 1000): DataFrame = {
+    val Seq(srcCol, dstCol) = pairs.columns.toSeq.take(2).map(col)
+    val edges = pairs.select(srcCol.as("src"), dstCol.as("dst"))
+      .union(pairs.select(dstCol.as("src"), srcCol.as("dst"))).persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).persist()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val nbrMin = edges.join(labels, col("src") === col("node"))
+        .groupBy(col("dst")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, col("node") === col("dst"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      val nextCp = next.localCheckpoint()
+      changed = nextCp.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = nextCp
+      iters += 1
+    }
+    require(changed == 0,
+      s"label propagation did not converge in $maxIters rounds")
+    edges.unpersist()
+    labels
+  }
+
   /** Guard for the O(n²) brute-force baselines (q23/q31): they broadcast
     * the FULL corpus to every executor, which is correct and fast as a
     * small-scale verifier but OOMs at production scale. Refuse loudly

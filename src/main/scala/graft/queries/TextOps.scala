@@ -353,38 +353,11 @@ object TextOps {
           .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
           .where(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
           .select("doc_a", "doc_b")
-        val edges = verified.union(
-            verified.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-          .toDF("src", "dst").persist()
-        var labels = edges.select(col("src").as("doc")).distinct()
-          .withColumn("label", col("doc")).persist()
-        var changed = 1L
-        var iters = 0
-        // Run to convergence (changed == 0) — min-label propagation needs
-        // O(component diameter) rounds, and a silent cap would emit wrong
-        // cluster_ids for long chains. The cap below is a runaway guard
-        // only, far above any plausible diameter, and fails LOUDLY.
-        val maxIters = 1000
-        while (changed > 0 && iters < maxIters) {
-          val nbrMin = edges.join(labels, col("src") === col("doc"))
-            .groupBy(col("dst")).agg(min("label").as("nbr_label"))
-          val next = labels.join(nbrMin, col("doc") === col("dst"), "left")
-            .select(col("doc"),
-              least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          // localCheckpoint materializes AND truncates the iterative
-          // join lineage so plan depth stays O(1) across rounds (no
-          // extra persist needed — checkpoint blocks are the cache).
-          val nextCp = next.localCheckpoint()
-          changed = nextCp.join(labels.withColumnRenamed("label", "old"), Seq("doc"))
-            .where(col("label") =!= col("old")).count()
-          labels.unpersist()
-          labels = nextCp
-          iters += 1
-        }
-        require(changed == 0,
-          s"q35 label propagation did not converge in $maxIters rounds")
-        edges.unpersist()
-        labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+        // Run-to-convergence min-label propagation: the shared
+        // QueryUtil.connectedComponents core (localCheckpoint-truncated
+        // lineage, loud runaway cap — rationale documented there).
+        connectedComponents(verified)
+          .select(col("node").as("doc_id"), col("label").as("cluster_id"))
           .orderBy("doc_id")
       },
       Some("""WITH RECURSIVE t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),

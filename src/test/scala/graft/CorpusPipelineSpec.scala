@@ -46,6 +46,44 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("--cluster collapses a transitive near-dup star to one representative; union-drop keeps the leaves") {
+    import spark.implicits._
+    // Star topology on 3-gram shingles: C shares >50% with A (common
+    // prefix) and with B (common suffix), but A and B only share the
+    // middle run (<50%). Verified pairs: (a,c),(b,c); no (a,b).
+    val core = (1 to 40).map(i => s"core$i")
+    def art(title: String, words: Seq[String]): String =
+      s"""<html><head><title>$title</title></head><body>
+         |<nav><ul><li><a href="/">Home</a></li><li><a href="/a">News</a></li></ul></nav>
+         |<article><h1>$title</h1>
+         |<p>${words.mkString(" ")}.</p>
+         |</article>
+         |<footer><a href="/about">About</a></footer>
+         |</body></html>""".stripMargin
+    val docs = Seq(
+      ("https://x.example/a", art("alphadoc", core.take(32) ++ (1 to 8).map(i => s"aext$i"))),
+      ("https://x.example/b", art("betadoc", core.drop(8) ++ (1 to 8).map(i => s"bext$i"))),
+      ("https://x.example/c", art("gammadoc", core)),
+      ("https://x.example/s1", art("soloone", (1 to 40).map(i => s"sone$i"))),
+      ("https://x.example/s2", art("solotwo", (1 to 40).map(i => s"stwo$i"))),
+      ("https://x.example/s3", art("solothree", (1 to 40).map(i => s"sthree$i"))))
+    val inDir = tmpDir("cp_star_in")
+    docs.toDF("url", "h").select(col("url"),
+        col("h").cast("binary").as("html"), lit("en").as("lang"))
+      .write.mode("overwrite").parquet(inDir)
+
+    val greedy = CorpusPipeline.run(spark,
+      Args(input = inDir, out = tmpDir("cp_star_g"))).toMap
+    val clust = CorpusPipeline.run(spark,
+      Args(input = inDir, out = tmpDir("cp_star_c"), cluster = true)).toMap
+    assert(greedy("exact_dedup") == 6 && clust("exact_dedup") == 6)
+    // Union-drop removes c (the larger url of both verified pairs) and
+    // keeps a AND b — they are not near-dups of each other.
+    assert(greedy("near_dedup") == 5, s"greedy stages: $greedy")
+    // Components merge {a,b,c} transitively and keep only min-url a.
+    assert(clust("near_dedup") == 4, s"cluster stages: $clust")
+  }
+
   test("decontamination stage drops exactly the eval-overlapping docs") {
     import spark.implicits._
     val out = tmpDir("cp_eval_out")

@@ -34,6 +34,26 @@ class MediaStreamsSpec extends AnyFunSuite {
     assert(info.durationMs <= 1000L && info.durationMs >= 400L)
   }
 
+  test("wav chunk walk survives declared sizes near 2^31 without wrapping negative") {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // A JUNK chunk declaring ~2^31 bytes: the old Int walk wrapped
+    // `pos` negative and threw StringIndexOutOfBoundsException.
+    val huge = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x7ffffff0L) ++ Array.fill[Byte](16)(0)
+    assert(MediaStreams.wav(huge).isEmpty) // must not throw
+    // Two chunks whose sizes SUM past 2^31 — same wrap class.
+    val summed = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32(0x40000000L) ++ Array.fill[Byte](8)(0) ++
+      "JUNK".getBytes ++ le32(0x40000000L) ++ Array.fill[Byte](8)(0)
+    assert(MediaStreams.wav(summed).isEmpty) // must not throw
+    // fmt+data found BEFORE a huge trailing chunk still parses.
+    val good = MediaGen.wav(8000, 1, 8, 200)
+    val trailing = good ++ "JUNK".getBytes ++ le32(0x7ffffff0L)
+    assert(MediaStreams.wav(trailing).exists(_.sampleRate == 8000))
+  }
+
   test("audio chunk boundaries tile the stream exactly") {
     val info = MediaStreams.WavInfo(8000, 1, 8, dataBytes = 8000L * 1300 / 1000)
     assert(info.durationMs == 1300L)

@@ -61,6 +61,18 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.pages(0).blocks.isEmpty)
   }
 
+  test("stray 'trailer' token with no dict after it doesn't abort the parse") {
+    // A 'trailer' occurrence LAST in the byte stream with no '<<'
+    // anywhere after it (e.g. inside an uncompressed stream of an
+    // xref-stream PDF) used to make indexOf return -1 and charAt(-1)
+    // abort the whole parse.
+    val pdf = PdfWriter.build(Seq(PageSpec(textBlocks = Seq("kept text"))))
+    val clean = PdfParser.parse(pdf).toOption.get
+    val strayed = pdf ++ "\n% see trailer".getBytes
+    val doc = PdfParser.parse(strayed).toOption.get
+    assert(doc.pages.map(_.blocks.map(_.text)) == clean.pages.map(_.blocks.map(_.text)))
+  }
+
   test("corrupted PDF returns Left, never throws") {
     assert(PdfParser.parse(Fixtures.corruptedPdf).isLeft)
     assert(PdfParser.parse("%PDF-1.4\ngarbage garbage".getBytes).isLeft ||
