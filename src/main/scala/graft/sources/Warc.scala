@@ -106,17 +106,25 @@ object Warc {
         } else {
           if (tpe.equalsIgnoreCase("response") && url.nonEmpty) {
             val payload = java.util.Arrays.copyOfRange(bytes, j, (j + len).toInt)
-            val (transportCharset, mediaType, rawBody) = splitHttpPayload(payload)
-            val body = normalizeCharset(rawBody, transportCharset, mediaType)
-            val ts = try new Timestamp(java.time.Instant.from(Iso.parse(date)).toEpochMilli)
-              catch { case _: Exception => new Timestamp(0L) }
-            out += Page(url, ts, body, "", "")
+            out += buildPage(url, date, payload)
           }
           i = (j + len).toInt
         }
       }
     }
     out.result()
+  }
+
+  /** Response-record payload → Page: HTTP header strip + charset
+    * normalization + WARC-Date parse (shared by `parse` and the
+    * streaming reader — both MUST stay byte-identical).
+    */
+  private def buildPage(url: String, date: String, payload: Array[Byte]): Page = {
+    val (transportCharset, mediaType, rawBody) = splitHttpPayload(payload)
+    val body = normalizeCharset(rawBody, transportCharset, mediaType)
+    val ts = try new Timestamp(java.time.Instant.from(Iso.parse(date)).toEpochMilli)
+      catch { case _: Exception => new Timestamp(0L) }
+    Page(url, ts, body, "", "")
   }
 
   /** Strip the HTTP status line + headers from a response payload; a
@@ -210,12 +218,11 @@ object Warc {
     * through.
     *
     * Inflated output is materialized as one array, so the hard ceiling
-    * is ~2 GB inflated per archive (JVM array limit); typical CC gzip
-    * members (~1 GB compressed, ~3-4× inflation) should instead be fed
-    * through `readPages` one member at a time, which is why the writer
-    * emits per-record members. Initial capacity is clamped so the
-    * `length * 4` estimate can't overflow Int for multi-hundred-MB
-    * inputs.
+    * is ~2 GB inflated per archive (JVM array limit) — this is the
+    * FIXTURE path; real archives go through `streamPages`/`readPages`,
+    * which inflate record-at-a-time with no such ceiling. Initial
+    * capacity is clamped so the `length * 4` estimate can't overflow
+    * Int for multi-hundred-MB inputs.
     */
   def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] = {
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
@@ -245,16 +252,207 @@ object Warc {
     out.toByteArray
   }
 
-  /** Read a directory/glob of `.warc` files into a pages Dataset via the
-    * binaryFile source — one task per archive (WARC archives are the
-    * crawl's split granularity; CC ships ~1 GB gzip members, so at
-    * cluster scale parallelism = archive count).
+  /** Hard cap on a single materialized record payload: a `Content-Length`
+    * past this can't be held in one JVM array, so the streaming reader
+    * treats the record as malformed (continues line-scanning without
+    * consuming the payload — same recovery as a garbage length).
+    */
+  val MaxRecordBytes: Long = Int.MaxValue.toLong - 16
+
+  /** Buffered byte reader over an InputStream with line reads, exact-N
+    * reads, and pushback — the streaming `parse` equivalent needs all
+    * three (pushback replays a truncated final payload through the
+    * line scanner, matching `parse`'s rescan of those bytes). IO errors
+    * surface as EOF: crawl archives are adversarial and a truncated
+    * gzip member must yield the records that did inflate, never throw
+    * (same contract as `gunzipIfNeeded`).
+    */
+  private final class RecordStream(in: java.io.InputStream) {
+    private var buf = new Array[Byte](64 * 1024)
+    private var start = 0
+    private var end = 0
+    private var eof = false
+
+    private def fill(): Boolean = {
+      if (start < end) return true
+      if (eof) return false
+      start = 0; end = 0
+      val r = try in.read(buf) catch { case _: java.io.IOException => -1 }
+      if (r < 0) { eof = true; false }
+      else { end = r; if (r > 0) true else fill() }
+    }
+
+    /** Next line (up to `\n`, exclusive), ISO-8859-1; null at EOF with
+      * nothing pending. Memory is O(line) — bounded by record payloads
+      * in practice since header lines are short.
+      */
+    def readLine(): String = {
+      if (!fill()) return null
+      val acc = new ByteArrayOutputStream(128)
+      var done = false
+      while (!done && fill()) {
+        var j = start
+        while (j < end && buf(j) != '\n') j += 1
+        acc.write(buf, start, j - start)
+        if (j < end) { start = j + 1; done = true } else start = end
+      }
+      val s = new String(acc.toByteArray, ISO_8859_1)
+      if (s.nonEmpty && s.charAt(s.length - 1) == '\r') s.substring(0, s.length - 1) else s
+    }
+
+    /** Read exactly `n` bytes; second element is false when EOF cut the
+      * read short (the returned array holds what was read).
+      */
+    def readN(n: Int): (Array[Byte], Boolean) = {
+      val out = new Array[Byte](n)
+      var got = 0
+      while (got < n && fill()) {
+        val take = math.min(n - got, end - start)
+        System.arraycopy(buf, start, out, got, take)
+        start += take; got += take
+      }
+      if (got == n) (out, true)
+      else (java.util.Arrays.copyOf(out, got), false)
+    }
+
+    /** Prepend bytes so the next reads see them first (truncated-payload
+      * rescan; only ever called at EOF, so sizes stay modest).
+      */
+    def pushBack(bytes: Array[Byte]): Unit = {
+      val pending = end - start
+      val merged = new Array[Byte](bytes.length + pending)
+      System.arraycopy(bytes, 0, merged, 0, bytes.length)
+      System.arraycopy(buf, start, merged, bytes.length, pending)
+      buf = merged; start = 0; end = merged.length
+    }
+  }
+
+  /** Stream pages from a WARC InputStream — the scale-path reader.
+    * Memory is O(single record), never O(archive): Common-Crawl
+    * archives (~1 GB gzip, 3-5 GB inflated) stream record-at-a-time
+    * where `parse(gunzipIfNeeded(...))` would need the whole inflated
+    * archive in one ~2 GB-capped array. Gzip input (leading 1f 8b) is
+    * inflated on the fly; GZIPInputStream consumes CC's per-record
+    * concatenated members transparently. Record semantics are identical
+    * to `parse` (same header handling, same malformed-record recovery —
+    * a truncated final payload is replayed through the line scanner),
+    * except a `Content-Length` > ~2 GB is skipped as malformed instead
+    * of materialized. The stream is closed when the iterator exhausts.
+    */
+  def streamPages(in0: java.io.InputStream): Iterator[Page] = {
+    val pb = new java.io.PushbackInputStream(in0, 2)
+    val head = new Array[Byte](2)
+    var got = 0
+    var headEof = false
+    while (!headEof && got < 2) {
+      val r = try pb.read(head, got, 2 - got)
+        catch { case _: java.io.IOException => -1 }
+      if (r < 0) headEof = true else got += r
+    }
+    if (got > 0) pb.unread(head, 0, got)
+    val in: java.io.InputStream =
+      if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
+        new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+      else pb
+
+    val rs = new RecordStream(in)
+    var closed = false
+    def closeQuietly(): Unit = if (!closed) {
+      closed = true
+      try in.close() catch { case _: java.io.IOException => }
+    }
+
+    new Iterator[Page] {
+      private var nextPage: Page = _
+
+      private def advance(): Unit = {
+        while (nextPage == null) {
+          val first = rs.readLine()
+          if (first == null) { closeQuietly(); return }
+          if (first.startsWith("WARC/")) {
+            var url = ""; var date = ""; var tpe = ""; var len = -1L
+            var halted = false
+            var blank = false
+            var line = rs.readLine()
+            while (!blank && !halted && line != null) {
+              if (line.isEmpty) blank = true
+              else {
+                val c = line.indexOf(':')
+                if (c > 0) {
+                  val k = line.substring(0, c).trim.toLowerCase
+                  val v = line.substring(c + 1).trim
+                  k match {
+                    case "warc-type" => tpe = v
+                    case "warc-target-uri" => url = v
+                    case "warc-date" => date = v
+                    case "content-length" =>
+                      len = try v.toLong catch { case _: Exception => halted = true; -1L }
+                    case _ =>
+                  }
+                }
+                if (!blank && !halted) line = rs.readLine()
+              }
+            }
+            // blank not required: parse also accepts a len-0 record whose
+            // headers end at EOF; a len>0 record there reads short below
+            // and takes the same rescan path parse does.
+            if (!halted && len >= 0 && len <= MaxRecordBytes) {
+              val (payload, complete) = rs.readN(len.toInt)
+              if (!complete) rs.pushBack(payload) // parse's j+len>n rescan
+              else if (tpe.equalsIgnoreCase("response") && url.nonEmpty)
+                nextPage = buildPage(url, date, payload)
+            }
+            // halted / negative / oversized length: continue line-scanning
+            // without consuming payload — parse's malformed-record path.
+          }
+        }
+      }
+
+      override def hasNext: Boolean = {
+        if (nextPage == null && !closed) advance()
+        nextPage != null
+      }
+      override def next(): Page = {
+        if (!hasNext) throw new NoSuchElementException("WARC stream exhausted")
+        val p = nextPage; nextPage = null; p
+      }
+    }
+  }
+
+  /** Read a directory or glob of `.warc` / `.warc.gz` archives into a
+    * pages Dataset, one task per archive streaming record-at-a-time
+    * (`streamPages`) — per-task memory is O(largest record), not
+    * O(archive), so real Common-Crawl segments (~1 GB gzip, 3-5 GB
+    * inflated) ingest where the old whole-file `binaryFile` path hit
+    * the 2 GB array ceiling. WARC archives are the crawl's split
+    * granularity, so cluster parallelism = archive count; listing uses
+    * the Hadoop FileSystem API and the driver's Hadoop conf is shipped
+    * to executors, so hdfs:/s3a: paths work unchanged.
     */
   def readPages(spark: org.apache.spark.sql.SparkSession, path: String):
       org.apache.spark.sql.Dataset[Page] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
-      .select("content").as[Array[Byte]]
-      .flatMap(bytes => parse(gunzipIfNeeded(bytes)))
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new HPath(path)
+    val fs = root.getFileSystem(hconf)
+    val statuses =
+      if (fs.isDirectory(root)) fs.listStatus(root).toSeq
+      else Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+    val files = statuses.filter(_.isFile).map(_.getPath)
+      .filterNot { p => val n = p.getName; n.startsWith(".") || n.startsWith("_") }
+      .map(_.toString).sorted
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.SerializableWritable(hconf))
+    spark.createDataset(files)
+      .repartition(math.max(files.length, 1))
+      .flatMap { f =>
+        val p = new HPath(f)
+        val stream = p.getFileSystem(confBc.value.value).open(p)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try stream.close() catch { case _: java.io.IOException => }))
+        streamPages(stream)
+      }
   }
 }

@@ -138,6 +138,116 @@ class WarcSpec extends SparkSuite {
     assert(Warc.readPages(spark, dir).count() == 80)
   }
 
+  private def pagesEqual(a: Seq[Page], b: Seq[Page]): Unit = {
+    assert(a.length == b.length, s"page counts differ: ${a.length} vs ${b.length}")
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.url == y.url)
+      assert(x.warc_ts.getTime == y.warc_ts.getTime)
+      assert(java.util.Arrays.equals(x.html, y.html), x.url)
+    }
+  }
+
+  test("streamPages == parse on plain and per-member-gzip archives") {
+    val pages = (0L until 120L).map(id => PageGen.row(7L, id))
+    val plain = Warc.write(pages)
+    pagesEqual(
+      Warc.streamPages(new java.io.ByteArrayInputStream(plain)).toVector,
+      Warc.parse(plain))
+    val gz = Warc.writeGz(pages)
+    pagesEqual(
+      Warc.streamPages(new java.io.ByteArrayInputStream(gz)).toVector,
+      Warc.parse(Warc.gunzipIfNeeded(gz)))
+  }
+
+  test("streaming inflates past the whole-array reader's 4x estimate byte-identically") {
+    // Highly repetitive bodies → inflation ratio >> 4×, the regime where
+    // the old whole-archive path's `length * 4` capacity estimate
+    // under-sized and (at ~2 GB inflated) failed outright.
+    val filler = "lorem ipsum dolor sit amet " * 3000 // ~80 KB of repetition
+    val pages = (0 until 64).map(i =>
+      page(s"https://big.example/$i", s"<html><body><p>doc$i $filler</p></body></html>"))
+    val gz = Warc.writeGz(pages)
+    val inflated = Warc.gunzipIfNeeded(gz)
+    assert(inflated.length.toLong > 4L * gz.length,
+      s"fixture not compressible enough: ${inflated.length} inflated / ${gz.length} gz")
+    pagesEqual(
+      Warc.streamPages(new java.io.ByteArrayInputStream(gz)).toVector,
+      Warc.parse(inflated))
+  }
+
+  test("streamPages == parse on malformed mixes; giant Content-Length skipped not materialized") {
+    val good = Warc.write(Seq(page("https://a.example/x", "<p>keep</p>")))
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 4\r\n\r\nabcd\r\n\r\n"
+      .getBytes("ISO-8859-1")
+    val junk = "complete garbage\nnot a record\n".getBytes("ISO-8859-1")
+    val truncated = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://b.example/y\r\n" +
+      "Content-Length: 999999\r\n\r\nshort").getBytes("ISO-8859-1")
+    val badLen = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://c.example/z\r\n" +
+      "Content-Length: banana\r\n\r\n").getBytes("ISO-8859-1")
+    // A payload whose BODY contains WARC/-looking lines must not resync
+    // mid-record (Content-Length spans it in both readers).
+    val embedded = Warc.write(Seq(page("https://d.example/w",
+      "<pre>WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 0\r\n\r\n</pre>")))
+    for (mix <- Seq(
+        junk ++ info ++ good ++ truncated,
+        badLen ++ good,
+        embedded ++ good,
+        truncated,
+        Array.emptyByteArray)) {
+      pagesEqual(
+        Warc.streamPages(new java.io.ByteArrayInputStream(mix)).toVector,
+        Warc.parse(mix))
+    }
+    // A declared Content-Length past the array ceiling is skipped as
+    // malformed (no 3 GB allocation attempt); the next record still parses.
+    val giant = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://g.example/g\r\n" +
+      "WARC-Date: 2023-11-14T22:13:20Z\r\nContent-Length: 3000000000\r\n\r\ntiny\r\n\r\n")
+      .getBytes("ISO-8859-1")
+    val got = Warc.streamPages(new java.io.ByteArrayInputStream(giant ++ good)).toVector
+    assert(got.map(_.url) == Vector("https://a.example/x"))
+  }
+
+  test("streaming reads lazily: first page consumes only a prefix of the archive") {
+    val filler = (0 until 2500).map(i => s"w$i").mkString(" ") // ~15 KB, incompressible-ish
+    val pages = (0 until 100).map(i =>
+      page(s"https://lazy.example/$i", s"<html><body><p>$filler</p></body></html>"))
+    val plain = Warc.write(pages)
+    var bytesRead = 0L
+    val counting = new java.io.InputStream {
+      private val in = new java.io.ByteArrayInputStream(plain)
+      override def read(): Int = { val r = in.read(); if (r >= 0) bytesRead += 1; r }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val r = in.read(b, off, len); if (r > 0) bytesRead += r; r
+      }
+    }
+    val it = Warc.streamPages(counting)
+    assert(it.next().url == "https://lazy.example/0")
+    assert(bytesRead < plain.length / 4,
+      s"read $bytesRead of ${plain.length} bytes for the first of 100 records — not streaming")
+    assert(it.size == 99) // rest still arrives
+  }
+
+  test("truncated gzip member yields the records that inflated, never throws") {
+    val pages = (0L until 40L).map(id => PageGen.row(11L, id))
+    val gz = Warc.writeGz(pages)
+    val cut = java.util.Arrays.copyOf(gz, gz.length * 3 / 5)
+    val streamed = Warc.streamPages(new java.io.ByteArrayInputStream(cut)).toVector
+    pagesEqual(streamed, Warc.parse(Warc.gunzipIfNeeded(cut)))
+    assert(streamed.nonEmpty && streamed.length < 40)
+  }
+
+  test("readPages streams a directory mixing plain and gzip archives") {
+    val dir = tmpDir("warc_mixed")
+    val a = (0L until 30L).map(id => PageGen.row(3L, id))
+    val b = (30L until 70L).map(id => PageGen.row(3L, id))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.warc"), Warc.write(a))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/b.warc.gz"), Warc.writeGz(b))
+    // Hidden/metadata files are ignored, as the binaryFile source did.
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SUCCESS"), Array.emptyByteArray)
+    val got = Warc.readPages(spark, dir).collect().map(_.url).sorted
+    assert(got.toSeq == (a ++ b).map(_.url).sorted)
+  }
+
   test("ExtractJob ingests WARC archives directly (--input-format warc)") {
     import graft.app.ExtractJob
     val in = tmpDir("warc_job_in")
