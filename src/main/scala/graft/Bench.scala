@@ -101,17 +101,57 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  @volatile private var probeSink: Long = 0L // defeats JIT dead-code elim
+
+  /** Host-CPU-supply probe: a daemon thread running fixed single-thread
+    * work units (~20 ms nominal) CONCURRENTLY with a measured rep and
+    * recording each unit's wall time. During a host stall the same unit
+    * takes proportionally longer, so a rep whose probe median is far
+    * above the run's cleanest window is machine-detectably interfered —
+    * the defense round-2's 0.302 kernel artifact lacked (3 serial reps
+    * all landed in one stall window and nothing in the JSON said so).
+    * One extra thread next to ≤16 workers on a 32-hardware-thread host
+    * does not perturb the measurement it guards.
+    */
+  private final class HostProbe {
+    private val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    @volatile private var running = true
+    private val t = new Thread(() => {
+      while (running) {
+        val t0 = System.nanoTime()
+        var x = 0x9e3779b97f4a7c15L
+        var i = 0
+        while (i < 6000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        probeSink = x
+        samples.add((System.nanoTime() - t0) / 1e9)
+      }
+    }, "graft-bench-probe")
+    t.setDaemon(true)
+    def start(): HostProbe = { t.start(); this }
+    /** Stop and return the median unit time (JIT-warmup samples dropped). */
+    def stop(): Double = {
+      running = false
+      t.join(2000)
+      import scala.jdk.CollectionConverters._
+      val xs = samples.iterator().asScala.map(_.doubleValue).toVector.drop(2)
+      if (xs.isEmpty) Double.NaN else median(xs)
+    }
+  }
+
+  private case class Rep(secs: Double, probe: Double)
+
   /** All `reps` measurements per parallelism level, interleaved
     * (lo,hi,lo,hi,…) so noisy-neighbor host drift hits both levels
     * equally. The sandbox host's CPU supply fluctuates ±30-50% between
     * identical runs, so single measurements are untrustworthy; callers
     * report best-of throughput and the MEDIAN of per-rep-pair
     * efficiencies (each pair runs back-to-back under near-identical
-    * host conditions).
+    * host conditions). Each rep carries its concurrent HostProbe median
+    * so a one-sided stall self-identifies in the output.
     */
   private def atParallelism(ks: Seq[Int], reps: Int, label: String)(
-      f: SparkSession => Double): Map[Int, Vector[Double]] = {
-    val all = scala.collection.mutable.Map.empty[Int, Vector[Double]]
+      f: SparkSession => Double): Map[Int, Vector[Rep]] = {
+    val all = scala.collection.mutable.Map.empty[Int, Vector[Rep]]
       .withDefaultValue(Vector.empty)
     (1 to reps).foreach { r =>
       // Alternate order every rep so monotone host drift biases neither
@@ -120,9 +160,12 @@ object Bench {
       order.foreach { k =>
         val s = session(k)
         try {
+          val probe = new HostProbe().start()
           val secs = f(s)
-          System.err.println(f"[bench] $label local[$k] rep$r: $secs%.3f s")
-          all(k) = all(k) :+ secs
+          val probeMed = probe.stop()
+          System.err.println(
+            f"[bench] $label local[$k] rep$r: $secs%.3f s (probe $probeMed%.4f s/unit)")
+          all(k) = all(k) :+ Rep(secs, probeMed)
         } finally s.stop()
       }
     }
@@ -166,13 +209,13 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val kernelAll =
       if (sys.env.get("SPARK_GRAFT_SKIP_KERNEL").contains("1"))
-        Map(loN -> Vector(1.0), hiN -> Vector(1.0))
+        Map(loN -> Vector(Rep(1.0, Double.NaN)), hiN -> Vector(Rep(1.0, Double.NaN)))
       else atParallelism(Seq(loN, hiN), reps, "kernel") { s =>
         warmup(s, kernelPath); kernelSecs(s, kernelPath)
       }
-    val kernel = kernelAll.view.mapValues(_.min).toMap
-    val kernelEff = bestEfficiency(kernelAll(loN), kernelAll(hiN), hiN.toDouble / loN)
-    val kernelEffMedPair = pairEfficiency(kernelAll(loN), kernelAll(hiN), hiN.toDouble / loN)
+    val kernel = kernelAll.view.mapValues(_.map(_.secs).min).toMap
+    val kernelEff = bestEfficiency(kernelAll(loN).map(_.secs), kernelAll(hiN).map(_.secs), hiN.toDouble / loN)
+    val kernelEffMedPair = pairEfficiency(kernelAll(loN).map(_.secs), kernelAll(hiN).map(_.secs), hiN.toDouble / loN)
 
     val jobAll = atParallelism(Seq(loN, hiN), reps, "job") { s =>
       // Job output defaults to tmpfs: the sandbox's lone ~130 MB/s block
@@ -184,11 +227,31 @@ object Bench {
       val outDir = sys.env.getOrElse("SPARK_GRAFT_JOB_OUT", "/dev/shm/graft_bench") + "/job_out"
       warmup(s, jobPath); jobSecs(s, jobPath, outDir)
     }
-    val job = jobAll.view.mapValues(_.min).toMap
-    val jobEff = bestEfficiency(jobAll(loN), jobAll(hiN), hiN.toDouble / loN)
-    val jobEffMedPair = pairEfficiency(jobAll(loN), jobAll(hiN), hiN.toDouble / loN)
-    def repsJson(m: Map[Int, Vector[Double]], k: Int) =
-      m(k).map(v => f"$v%.3f").mkString("[", ",", "]")
+    val job = jobAll.view.mapValues(_.map(_.secs).min).toMap
+    val jobEff = bestEfficiency(jobAll(loN).map(_.secs), jobAll(hiN).map(_.secs), hiN.toDouble / loN)
+    val jobEffMedPair = pairEfficiency(jobAll(loN).map(_.secs), jobAll(hiN).map(_.secs), hiN.toDouble / loN)
+    def repsJson(m: Map[Int, Vector[Rep]], k: Int) =
+      m(k).map(r => f"${r.secs}%.3f").mkString("[", ",", "]")
+    def probesJson(m: Map[Int, Vector[Rep]], k: Int) =
+      m(k).map(r => if (r.probe.isNaN) "null" else f"${r.probe}%.4f").mkString("[", ",", "]")
+
+    // ---- Bench validity: a rep whose concurrent probe median sits far
+    // above the run's cleanest observed window ran under host
+    // interference. The run is VALID when every parallelism level kept
+    // at least one clean rep (best-of then reads from clean windows);
+    // `valid:false` marks the efficiencies as untrustworthy — rerun.
+    val stallFactor = 1.4
+    val allProbes = (kernelAll.values ++ jobAll.values).flatten
+      .map(_.probe).filterNot(_.isNaN).toVector
+    val minProbe = if (allProbes.isEmpty) Double.NaN else allProbes.min
+    def isStalled(r: Rep): Boolean =
+      !r.probe.isNaN && !minProbe.isNaN && r.probe > stallFactor * minProbe
+    def stalledCount(m: Map[Int, Vector[Rep]]): Int = m.values.flatten.count(isStalled)
+    def levelsClean(m: Map[Int, Vector[Rep]]): Boolean =
+      m.forall { case (_, v) => v.exists(r => !isStalled(r)) }
+    val benchValid = levelsClean(kernelAll) && levelsClean(jobAll)
+    System.err.println(f"[bench] probe min ${minProbe}%.4f s/unit; stalled reps: " +
+      s"kernel=${stalledCount(kernelAll)} job=${stalledCount(jobAll)} valid=$benchValid")
 
     // ---- Realistic-document-size throughput: articles scaled ~40× (to
     // ~10-30 KB — crawl-like), reported in docs/sec AND MB/s of raw
@@ -241,9 +304,14 @@ object Bench {
       f""""kernel_rows":$kernelRows,"kernel_local${loN}_secs":${kernel(loN)}%.3f,"kernel_local${loN}_docs_per_sec":${thr(kernelRows, kernel(loN))}%.1f,""" +
       f""""kernel_local${hiN}_secs":${kernel(hiN)}%.3f,"kernel_local${hiN}_docs_per_sec":${thr(kernelRows, kernel(hiN))}%.1f,"kernel_scaling_efficiency":$kernelEff%.3f,"kernel_scaling_efficiency_median_pair":$kernelEffMedPair%.3f,""" +
       f""""kernel_reps_local$loN":${repsJson(kernelAll, loN)},"kernel_reps_local$hiN":${repsJson(kernelAll, hiN)},""" +
+      f""""kernel_probe_local$loN":${probesJson(kernelAll, loN)},"kernel_probe_local$hiN":${probesJson(kernelAll, hiN)},""" +
       f""""job_rows":$jobRows,"job_local${loN}_secs":${job(loN)}%.3f,"job_local${loN}_docs_per_sec":${thr(jobRows, job(loN))}%.1f,""" +
       f""""job_local${hiN}_secs":${job(hiN)}%.3f,"job_local${hiN}_docs_per_sec":${thr(jobRows, job(hiN))}%.1f,"job_scaling_efficiency":$jobEff%.3f,"job_scaling_efficiency_median_pair":$jobEffMedPair%.3f,""" +
-      f""""job_reps_local$loN":${repsJson(jobAll, loN)},"job_reps_local$hiN":${repsJson(jobAll, hiN)}""" +
+      f""""job_reps_local$loN":${repsJson(jobAll, loN)},"job_reps_local$hiN":${repsJson(jobAll, hiN)},""" +
+      f""""job_probe_local$loN":${probesJson(jobAll, loN)},"job_probe_local$hiN":${probesJson(jobAll, hiN)},""" +
+      (if (minProbe.isNaN) """"probe":{"valid":true,"note":"no probe samples"}"""
+       else f""""probe":{"min_unit_secs":$minProbe%.4f,"stall_factor":$stallFactor%.1f,""" +
+         f""""kernel_stalled_reps":${stalledCount(kernelAll)},"job_stalled_reps":${stalledCount(jobAll)},"valid":$benchValid}""") +
       bigdoc.map { case (bytes, secs, dps) =>
         f""","bigdoc":{"rows":$bigRows,"para_scale":40,"payload_mb":${bytes / 1e6}%.1f,"secs":$secs%.3f,"docs_per_sec":$dps%.1f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}"""
       }.getOrElse("") +
