@@ -117,19 +117,94 @@ object PipelineOps {
 
     // ---- Exact dedup over *extracted* text: PageGen plants ~6%
     // duplicate clusters; dedup runs on kernel output, not raw payloads.
-    ("x43_dedup_extracted",
+    // Oracle-matched (was rows-only): DuckDB re-derives PageGen's
+    // id→content-class arithmetic — splitmix64 (UHUGEINT-mod-2^64),
+    // unitDouble, the dup-cluster replay (contentId) and the family CDF
+    // with its exact accumulated-double thresholds — and predicts every
+    // md5-collision group from first principles. The oracle additionally
+    // pins two KERNEL facts the golden suite asserts: (a) the PDF and
+    // HTML containers of the same fixture extract byte-identical text
+    // (text_simple/hybrid_2p/image_only merge with their _pdf twins;
+    // german_invoice does NOT — different layouts), and (b) 'empty' and
+    // 'corrupted' rows are dropped by the success/nonempty filter.
+    // Canonical id (min numeric url id) replaces the md5 digest in the
+    // output so the oracle needs no text, and min(url)'s Zipf host
+    // prefix needs no SQL replication.
+    ("q43_dedup_extracted",
       (s, _) => {
         import s.implicits._
         pages(s, 2000).mapPartitions { it =>
           val proc = Processor.default
           it.map(p => proc.extract(p, "balanced"))
         }.where(col("success") && length(col("text")) > 0)
-          .withColumn("digest", md5(col("text")))
-          .groupBy("digest")
-          .agg(count(lit(1)).as("n_docs"), min("url").as("canonical_url"))
+          .withColumn("id", regexp_extract(col("url"), "p(\\d+)\\.html$", 1).cast("long"))
+          .groupBy(md5(col("text")).as("digest"))
+          .agg(min("id").as("canonical_id"), count(lit(1)).as("n_docs"))
           .where(col("n_docs") > 1)
-          .orderBy("digest")
-      }, None),
+          .select("canonical_id", "n_docs")
+          .orderBy("canonical_id")
+      },
+      Some("""WITH ids AS MATERIALIZED (SELECT unnest(range(0, 2000)) AS id),
+             -- splitmix64, staged via lateral aliases; MATERIALIZED stops
+             -- CTE inlining from exponentially re-expanding the chain.
+             ma AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 1685418085) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS ma_z1,
+                 CAST((CAST(xor(ma_z1, ma_z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS ma_z2,
+                 CAST((CAST(xor(ma_z2, ma_z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS ma_z3,
+                 xor(ma_z3, ma_z3 >> 31) AS ma
+               FROM ids),
+             mb AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(xor(CAST(42 AS UBIGINT), ma) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS mb_z1,
+                 CAST((CAST(xor(mb_z1, mb_z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS mb_z2,
+                 CAST((CAST(xor(mb_z2, mb_z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS mb_z3,
+                 xor(mb_z3, mb_z3 >> 31) AS mb
+               FROM ma),
+             cid_t AS MATERIALIZED (
+               SELECT id, CASE WHEN CAST(mb >> 11 AS DOUBLE) / 9007199254740992.0 < 0.06 AND id >= 32
+                               THEN (id // 32) * 32 ELSE id END AS cid
+               FROM mb),
+             mc AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(cid, 439721224556) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS mc_z1,
+                 CAST((CAST(xor(mc_z1, mc_z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS mc_z2,
+                 CAST((CAST(xor(mc_z2, mc_z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS mc_z3,
+                 xor(mc_z3, mc_z3 >> 31) AS mc
+               FROM cid_t),
+             md AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(xor(CAST(42 AS UBIGINT), mc) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS md_z1,
+                 CAST((CAST(xor(md_z1, md_z1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS md_z2,
+                 CAST((CAST(xor(md_z2, md_z2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS md_z3,
+                 xor(md_z3, md_z3 >> 31) AS md
+               FROM mc),
+             fam AS (
+               SELECT id, cid, CAST(md >> 11 AS DOUBLE) / 9007199254740992.0 AS u,
+                 CASE WHEN 0.3 >= u THEN 'text_simple'
+                      WHEN 0.55 >= u THEN 'article'
+                      WHEN 0.65 >= u THEN 'hybrid_2p'
+                      WHEN 0.72 >= u THEN 'image_only'
+                      WHEN 0.7999999999999999 >= u THEN 'multipage_3'
+                      WHEN 0.84 >= u THEN 'german_invoice'
+                      WHEN 0.89 >= u THEN 'boilerplate'
+                      WHEN 0.91 >= u THEN 'empty'
+                      WHEN 0.9500000000000001 >= u THEN 'text_simple_pdf'
+                      WHEN 0.9700000000000001 >= u THEN 'hybrid_2p_pdf'
+                      WHEN 0.9800000000000001 >= u THEN 'image_only_pdf'
+                      WHEN 0.9900000000000001 >= u THEN 'german_invoice_pdf'
+                      ELSE 'corrupted' END AS f
+               FROM md),
+             cls AS (
+               SELECT id,
+                 CASE WHEN f = 'article' THEN 'a' || cid
+                      WHEN f IN ('text_simple','text_simple_pdf') THEN 'text_simple'
+                      WHEN f IN ('hybrid_2p','hybrid_2p_pdf') THEN 'hybrid_2p'
+                      WHEN f IN ('image_only','image_only_pdf') THEN 'image_only'
+                      ELSE f END AS key
+               FROM fam WHERE f NOT IN ('empty','corrupted'))
+             SELECT CAST(min(id) AS BIGINT) AS canonical_id, CAST(count(*) AS BIGINT) AS n_docs
+             FROM cls GROUP BY key HAVING count(*) > 1 ORDER BY canonical_id""")),
 
     // ---- JSON repair cascade (F7-F11) over deterministically-broken
     // documents derived from events.props. Oracle-checked: the DuckDB
@@ -196,8 +271,15 @@ object PipelineOps {
     // ---- Winnowed rolling-hash fingerprints (passage-level dup
     // detection): fingerprints shared across documents = copied runs.
     // Scale shape: explode → groupBy fingerprint — shuffle carries only
-    // (hash, doc_id) pairs, never text.
-    ("x45_fingerprint",
+    // (hash, doc_id) pairs, never text. Oracle-matched (was rows-only):
+    // DuckDB re-derives the FULL winnow — FNV-1a over each 8-gram
+    // (HUGEINT-mod-2^64 arithmetic, both UTF-16 bytes per char),
+    // signed-Long window minimum with the rightmost tie-break, per-doc
+    // distinct — via list comprehensions + list_reduce, so the green
+    // hash pins the exact fingerprint set cross-engine. The oracle's
+    // lower/trim/'\s+' normalization equals Fingerprint.normalize on
+    // this corpus (single-line ASCII text).
+    ("q45_fingerprint",
       (s, d) => {
         import s.implicits._
         val fps = QueryUtil.tbl(s, d, "documents")
@@ -210,7 +292,40 @@ object PipelineOps {
           .where(col("n_docs") > 1)
           .agg(count(lit(1)).as("shared_fingerprints"),
                sum("n_docs").as("doc_memberships"))
-      }, None),
+      },
+      Some("""WITH t AS (
+               SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s FROM documents
+             ),
+             ch AS (
+               SELECT doc_id, [CAST(ord(substr(s, x + 1, 1)) AS UBIGINT) FOR x IN range(0, length(s))] AS cs,
+                      length(s) AS L
+               FROM t WHERE length(s) >= 8
+             ),
+             hu AS (
+               SELECT doc_id,
+                 [ list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), cs[i+1:i+8]),
+                     (h, c) -> CAST((CAST(xor(CAST((CAST(xor(h, c % 256) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT), c // 256) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT))
+                   FOR i IN range(0, L - 7) ] AS hsu
+               FROM ch
+             ),
+             hs_t AS (
+               SELECT doc_id,
+                 [CASE WHEN h >= CAST(9223372036854775808 AS UBIGINT)
+                       THEN CAST(CAST(h AS HUGEINT) - 18446744073709551616 AS BIGINT)
+                       ELSE CAST(h AS BIGINT) END FOR h IN hsu] AS hs
+               FROM hu
+             ),
+             win AS (
+               SELECT doc_id,
+                 list_distinct([ hs[list_reduce(range(s + 1, s + w + 1),
+                     (a, j) -> CASE WHEN hs[j] <= hs[a] THEN j ELSE a END)]
+                   FOR s IN range(0, n - w + 1) ]) AS fps
+               FROM (SELECT doc_id, hs, len(hs) AS n, least(4, len(hs)) AS w FROM hs_t)
+             ),
+             fps AS (SELECT doc_id, unnest(fps) AS fp FROM win),
+             g AS (SELECT fp, count(DISTINCT doc_id) AS n_docs FROM fps GROUP BY fp HAVING count(DISTINCT doc_id) > 1)
+             SELECT CAST(count(*) AS BIGINT) AS shared_fingerprints,
+                    CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS doc_memberships FROM g""")),
 
     // ---- Extraction-quality eval (reference eval framework A9:
     // CER/WER/Jaccard corpus roll-up). Ref = accurate extraction,

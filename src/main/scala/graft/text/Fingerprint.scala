@@ -6,7 +6,7 @@ package graft.text
   * sharing fingerprints share (with high probability) a ≥k-char run.
   *
   * Pure Scala kernel (not SQL-expressible — the rolling window is
-  * iterative), exposed through the x45 query; deterministic golden
+  * iterative), exposed through the q45 query (DuckDB winnow oracle); deterministic golden
   * values pinned in FingerprintSpec.
   */
 object Fingerprint {
