@@ -42,16 +42,41 @@ object VectorOps {
   private def dot(a: String, b: String) =
     call_function("vector_dot", col(a), col(b))
 
-  /** Deterministic md5-derived centroid for IVF cell `c` (dim taken from
-    * the vector length) — same construction on the oracle side.
+  /** Data-derived IVF centroids (replaces round-2's md5-derived ones,
+    * whose recall was unrepresentative — BENCH.md measured 1/30
+    * single-probe): 8 deterministic seed vectors (vec_id 0..7) refined
+    * by ONE Lloyd step under the cosine metric — every vector joins its
+    * max-cosine seed, each cell's centroid becomes the element-wise
+    * MEAN of its members (empty cells keep their seed). Deterministic,
+    * identical construction in the oracle SQL. Scale shape: seeds and
+    * centroids are k×dim tiny (broadcast); the Lloyd step is one
+    * corpus pass (posexplode → per-(cell,dim) partial-agg mean), the
+    * same cost as any k-means iteration.
     */
-  private def centroid(c: Column, dim: Column): Column =
-    transform(sequence(lit(0), dim - 1), d =>
-      (ascii(substring(md5(concat(c.cast("string"), lit("c"), d.cast("string"))), lit(1), lit(1)))
-        % 16).cast("double") - 7.5)
+  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, d)
+    val seeds = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("sv"),
+        col("nrm").as("snrm"))
+    val a0 = e.select(col("vec_id"), col("v"))
+      .join(broadcast(seeds), lit(true))
+      .withColumn("cos", call_function("vector_dot", col("v"), col("sv")) / col("snrm"))
+    val w0 = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("cell").asc)
+    val assigned = a0.withColumn("rn", row_number().over(w0)).where(col("rn") === 1)
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+    val means = assigned.groupBy("cell", "i").agg(avg("x").as("w"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("w")))),
+        t => t.getField("w")).as("mv"))
+    seeds.select("cell", "sv").join(means, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("mv"), col("sv")).as("cv"))
+      .withColumn("cnrm", sqrt(call_function("vector_dot", col("cv"), col("cv"))))
+  }
 
-  /** IVF coarse quantization: cells ranked by centroid dot per vector
-    * (ties break to the lowest cell id, matching the oracle's
+  /** IVF coarse quantization: cells ranked by centroid COSINE per vector
+    * (dot / centroid norm — the per-vector norm is constant within the
+    * ranking; ties break to the lowest cell id, matching the oracle's
     * row_number ordering). `probes = 1` is the storage assignment; a
     * query searches its top-`probes` cells (multi-probe — the recall
     * knob; see BENCH.md scale-path quality table).
@@ -59,29 +84,42 @@ object VectorOps {
   private def ivfAssign(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val dots = e.select(col("vec_id"), col("v"), col("nrm"),
-        explode(sequence(lit(0), lit(7))).as("cell"))
-      .withColumn("cdot", call_function("vector_dot", col("v"), centroid(col("cell"), size(col("v")))))
+    val dots = e.join(broadcast(ivfCentroids(s, d)), lit(true))
+      .withColumn("cdot", call_function("vector_dot", col("v"), col("cv")) / col("cnrm"))
     val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell").asc)
     dots.withColumn("rn", row_number().over(w)).where(col("rn") <= probes)
       .select("vec_id", "cell", "v", "nrm")
   }
 
-  /** Shared WITH-prefix of the IVF oracle SQL (defines e, cent, dots,
-    * assign).
+  /** Shared WITH-prefix of the IVF oracle SQL (defines e, the seeded
+    * one-Lloyd-step centroids, dotsn, assign) — the exact SQL mirror of
+    * `ivfCentroids`/`ivfAssign`.
     */
   private val ivfAssignSql: String =
     """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
          generate_subscripts(embedding,1)-1 AS i FROM embeddings),
-      cent AS (SELECT c.c, d.d,
-          CAST(ascii(substr(md5(c.c || 'c' || d.d),1,1)) % 16 AS DOUBLE) - 7.5 AS w
-        FROM (SELECT unnest(range(8)) AS c) c CROSS JOIN (SELECT unnest(range(64)) AS d) d),
-      dots AS (SELECT e.vec_id, cent.c, sum(e.v * cent.w) AS dot
-        FROM e JOIN cent ON e.i = cent.d GROUP BY 1,2),
+      seed AS (SELECT vec_id AS cell, i, v AS w FROM e WHERE vec_id < 8),
+      snrm AS (SELECT cell, sqrt(sum(w*w)) AS nrm FROM seed GROUP BY 1),
+      a0c AS (SELECT e.vec_id, seed.cell, sum(e.v * seed.w) AS dot
+              FROM e JOIN seed ON e.i = seed.i GROUP BY 1,2),
+      a0 AS (SELECT vec_id, cell FROM (
+             SELECT a0c.vec_id, a0c.cell,
+               row_number() OVER (PARTITION BY a0c.vec_id
+                 ORDER BY a0c.dot / snrm.nrm DESC, a0c.cell) AS rn
+             FROM a0c JOIN snrm USING (cell)) WHERE rn = 1),
+      centm AS (SELECT a0.cell, e.i, avg(e.v) AS w
+                FROM a0 JOIN e ON e.vec_id = a0.vec_id GROUP BY 1,2),
+      cent AS (SELECT s.cell, s.i, coalesce(c.w, s.w) AS w
+               FROM seed s LEFT JOIN centm c ON c.cell = s.cell AND c.i = s.i),
+      cnrm AS (SELECT cell, sqrt(sum(w*w)) AS nrm FROM cent GROUP BY 1),
+      dots AS (SELECT e.vec_id, cent.cell, sum(e.v * cent.w) AS rawdot
+               FROM e JOIN cent ON e.i = cent.i GROUP BY 1,2),
+      dotsn AS (SELECT dots.vec_id, dots.cell, dots.rawdot / cnrm.nrm AS dot
+                FROM dots JOIN cnrm USING (cell)),
       assign AS (SELECT vec_id, cell FROM (
-        SELECT vec_id, c AS cell,
-          row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
-        FROM dots) WHERE rn = 1)
+        SELECT vec_id, cell,
+          row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+        FROM dotsn) WHERE rn = 1)
     """
 
   val defs: Seq[Q] = Seq(
@@ -225,9 +263,9 @@ object VectorOps {
       },
       Some(ivfAssignSql +
         """, probes AS (SELECT vec_id, cell FROM (
-             SELECT vec_id, c AS cell,
-               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, c) AS rn
-             FROM dots) WHERE rn <= 3),
+             SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+             FROM dotsn) WHERE rn <= 3),
         p AS (SELECT DISTINCT q.vec_id AS query_id, n.vec_id AS neighbor_id
               FROM probes q JOIN assign n ON q.cell = n.cell AND q.vec_id <> n.vec_id
               WHERE q.vec_id < 10),
