@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   *
   *   pages → extract (kernel) → quality filter (Gopher subset)
   *         → exact dedup (md5 groupBy) → near-dup dedup (MinHash-LSH +
-  *           exact-Jaccard verify) → decontaminate (eval 5-gram overlap,
-  *           optional) → token-window chunking → stratified sampling
-  *         → training_windows parquet + per-stage row counts
+  *           exact-Jaccard verify) → paragraph-span dedup (C4
+  *           keep-first, optional) → decontaminate (eval 5-gram
+  *           overlap, optional) → token-window chunking → stratified
+  *           sampling → training_windows parquet + per-stage row counts
   *
   * Every stage is the operator shape verified by the q-series oracles
-  * (q22/q24p/q53/q56/q57/q58/q60); this main wires them into the
+  * (q22/q24p/q53/q56/q57/q58/q60/q62); this main wires them into the
   * one-command path a corpus run actually executes, with stage metrics
   * for the lineage record. Scale shapes are inherited: the kernel is
   * map-only, dedup shuffles only compact digests/signatures, the eval
@@ -25,6 +26,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
   *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
+  *     [--span-dedup]
   */
 object CorpusPipeline {
 
@@ -37,7 +39,8 @@ object CorpusPipeline {
       window: Int = 50,
       stride: Int = 40,
       quality: String = "balanced",
-      cluster: Boolean = false)
+      cluster: Boolean = false,
+      spanDedup: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -53,6 +56,7 @@ object CorpusPipeline {
         case "--stride" => a = a.copy(stride = argv(i + 1).toInt); i += 2
         case "--quality" => a = a.copy(quality = argv(i + 1)); i += 2
         case "--cluster" => a = a.copy(cluster = true); i += 1
+        case "--span-dedup" => a = a.copy(spanDedup = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -172,7 +176,35 @@ object CorpusPipeline {
     exact.unpersist()
     stages += "near_dedup" -> nearDeduped.count()
 
-    // 5. Decontamination (optional): drop docs sharing a 5-gram with the
+    // 5. Paragraph-span dedup (optional, q62 shape): C4's "discard all
+    // but one of any span occurring more than once", at paragraph
+    // granularity over the extracted text's real line breaks. Keep-first
+    // = the single global row_number()==1 occurrence per paragraph
+    // ordered by (url, pidx) — unique paragraphs are their own first
+    // occurrence, so one window handles both. Docs whose every
+    // paragraph was a repeat drop out with the empty-text filter.
+    val spanned = if (!a.spanDedup) nearDeduped else {
+      import org.apache.spark.sql.expressions.Window
+      val paras = nearDeduped
+        .select(col("url"), col("lang"), posexplode(filter(
+          transform(split(col("text"), "\n"), p => trim(p)), p => p =!= ""))
+          .as(Seq("pidx", "para")))
+      val w0 = Window.partitionBy("para").orderBy("url", "pidx")
+      val rebuilt = paras.withColumn("occ", row_number().over(w0))
+        .where(col("occ") === 1)
+        .groupBy("url", "lang")
+        .agg(concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("pidx"), col("para")))),
+          t => t.getField("para"))).as("text"))
+        .where(length(col("text")) > 0)
+        .withColumn("toks", tokens(col("text")))
+        .persist()
+      stages += "span_dedup" -> rebuilt.count()
+      nearDeduped.unpersist()
+      rebuilt
+    }
+
+    // 6. Decontamination (optional): drop docs sharing a 5-gram with the
     // eval set; the eval shingle set broadcasts (q60 shape).
     val clean = if (a.evalPath.nonEmpty) {
       val evalSh = spark.read.parquet(a.evalPath)
@@ -183,15 +215,15 @@ object CorpusPipeline {
         .withColumn("toks", tokens(col("text")))
         .select(explode_outer(sh5(col("toks"))).as("shingle"))
         .where(col("shingle").isNotNull).distinct()
-      val contaminated = nearDeduped
+      val contaminated = spanned
         .select(col("url"), explode_outer(sh5(col("toks"))).as("shingle"))
         .join(broadcast(evalSh), Seq("shingle"))
         .select("url").distinct()
-      nearDeduped.join(contaminated, Seq("url"), "left_anti").persist()
-    } else nearDeduped
+      spanned.join(contaminated, Seq("url"), "left_anti").persist()
+    } else spanned
     stages += "decontaminated" -> clean.count()
 
-    // 6. Token-window chunking (q57 shape).
+    // 7. Token-window chunking (q57 shape).
     val w = a.window; val st = a.stride
     val windows = clean
       .withColumn("n", size(col("toks")))
@@ -203,7 +235,7 @@ object CorpusPipeline {
         concat_ws(" ", col("win")).as("window_text")).persist()
     stages += "windows" -> windows.count()
 
-    // 7. Stratified sampling (q58 thresholds: en 80% / de 50% / * 20%),
+    // 8. Stratified sampling (q58 thresholds: en 80% / de 50% / * 20%),
     // keyed on (url, win_id) so the sample is reproducible.
     val h = substring(md5(concat(col("url"), lit("#"), col("win_id"))), 1, 2)
     val sampled = windows.where(
@@ -214,7 +246,8 @@ object CorpusPipeline {
     val nSampled = spark.read.parquet(s"${a.out}/training_windows").count()
     stages += "sampled" -> nSampled
     windows.unpersist(); clean.unpersist()
-    if (clean ne nearDeduped) nearDeduped.unpersist()
+    if (clean ne spanned) spanned.unpersist()
+    // nearDeduped is unpersisted inside the span stage when it ran.
 
     stages.result()
   }

@@ -320,6 +320,60 @@ object TextOps {
              LEFT JOIN hits h USING (doc_id)
              ORDER BY doc_id""")),
 
+    // ---- Paragraph-span dedup (the C4 "discard all but one of any
+    // span occurring more than once" pass, at paragraph granularity).
+    // The corpus text is single-line, so paragraph breaks are derived
+    // deterministically in BOTH engines: tokens grouped in runs of 10
+    // (last run partial). Keep-first = the single global row_number==1
+    // occurrence of each paragraph ordered by (doc_id, pidx) — unique
+    // paragraphs are their own first occurrence, so one window
+    // expression handles both. Output pins the per-doc kept-count AND
+    // the md5 of the reassembled cleaned text, so the green hash proves
+    // span selection byte-exactly. Scale shape: one explode + one
+    // window shuffle keyed on the paragraph (at 10^12 rows: hash the
+    // paragraph to 128 bits first so the shuffle carries digests, not
+    // text — same plan), one group-by doc.
+    ("q62_span_dedup",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = tbl(s, d, "documents")
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        val paras = t.select(col("doc_id"),
+            posexplode(transform(
+              sequence(lit(0), ((size(col("toks")) + 9) / 10).cast("int") - 1),
+              g => array_join(slice(col("toks"), g * 10 + 1, lit(10)), " ")))
+              .as(Seq("pidx", "para")))
+        val w = Window.partitionBy("para").orderBy("doc_id", "pidx")
+        val kept = paras.withColumn("occ", row_number().over(w))
+          .where(col("occ") === 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_kept"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("pidx"), col("para")))),
+              t => t.getField("para")), " ")).as("clean_digest"))
+        paras.groupBy("doc_id").agg(count(lit(1)).as("n_paras"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_paras"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("clean_digest"), md5(lit(""))).as("clean_digest"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             paras AS (SELECT doc_id, g AS pidx,
+                         array_to_string(toks[g*10+1 : g*10+10], ' ') AS para
+                       FROM t, unnest(range(0, (len(toks) + 9) // 10)) AS u(g)),
+             occ AS (SELECT doc_id, pidx, para,
+                       row_number() OVER (PARTITION BY para ORDER BY doc_id, pidx) AS occ
+                     FROM paras),
+             kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                        md5(string_agg(para, ' ' ORDER BY pidx)) AS clean_digest
+                      FROM occ WHERE occ = 1 GROUP BY doc_id),
+             tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paras FROM paras GROUP BY 1)
+             SELECT tot.doc_id, tot.n_paras,
+               coalesce(kept.n_kept, 0) AS n_kept,
+               coalesce(kept.clean_digest, md5('')) AS clean_digest
+             FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
+
     // ---- The complete near-dup dedup pipeline: MinHash-LSH candidate
     // generation → exact-Jaccard verification (only on candidates — the
     // O(n²) compare never happens) → connected-components clustering by

@@ -84,6 +84,43 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(clust("near_dedup") == 4, s"cluster stages: $clust")
   }
 
+  test("--span-dedup keeps one global copy of a repeated paragraph (C4 keep-first)") {
+    import spark.implicits._
+    // Three long docs sharing one exact boilerplate paragraph plus
+    // unique bulk; the repeated paragraph must survive exactly once
+    // corpus-wide, shrinking total window volume but dropping no docs.
+    val sharedPara = (1 to 40).map(i => s"shared$i").mkString(" ")
+    def art(tag: String): String = {
+      val unique = (1 to 3).map(p =>
+        s"<p>${(1 to 40).map(i => s"${tag}w${p}x$i").mkString(" ")}.</p>").mkString("\n")
+      s"""<html><head><title>${tag}doc</title></head><body>
+         |<article><h1>${tag}doc</h1>
+         |<p>$sharedPara.</p>
+         |$unique
+         |</article>
+         |</body></html>""".stripMargin
+    }
+    val docs = Seq("alpha", "beta", "gamma").map(t => (s"https://sp.example/$t", art(t)))
+    val inDir = tmpDir("cp_span_in")
+    docs.toDF("url", "h").select(col("url"),
+        col("h").cast("binary").as("html"), lit("en").as("lang"))
+      .write.mode("overwrite").parquet(inDir)
+
+    val off = CorpusPipeline.run(spark,
+      Args(input = inDir, out = tmpDir("cp_span_off"))).toMap
+    val on = CorpusPipeline.run(spark,
+      Args(input = inDir, out = tmpDir("cp_span_on"), spanDedup = true)).toMap
+    assert(!off.contains("span_dedup"))
+    // No doc is all-duplicates, so the stage drops paragraphs, not docs.
+    assert(on("span_dedup") == on("near_dedup"), s"stages: $on")
+    // Two of the three shared-paragraph copies are gone -> fewer windows.
+    assert(on("windows") < off("windows"), s"on: $on / off: $off")
+    // Determinism: a rerun reproduces the same stage counts.
+    val on2 = CorpusPipeline.run(spark,
+      Args(input = inDir, out = tmpDir("cp_span_on2"), spanDedup = true)).toMap
+    assert(on2 == on)
+  }
+
   test("decontamination stage drops exactly the eval-overlapping docs") {
     import spark.implicits._
     val out = tmpDir("cp_eval_out")
