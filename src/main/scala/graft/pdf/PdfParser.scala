@@ -407,11 +407,21 @@ object PdfParser {
   private def decodedStream(obj: PObj, objs: Map[Int, PObj]): Option[Array[Byte]] =
     obj.stream.map(raw => applyFilters(raw, obj.dict))
 
+  /** Filters whose output is pixel data, never text: a chain containing
+    * one can't contribute to the text layer, so the stream decodes to
+    * EMPTY (the image is skipped, adjacent content streams keep
+    * extracting) instead of leaking raw compressed bytes into the
+    * content tokenizer, where a stray `(…) Tj` byte pattern inside a
+    * JPEG would fabricate text.
+    */
+  private val ImageOnlyFilters = Set(
+    "DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode")
+
   /** Apply a stream's full filter chain in declaration order, honoring
     * per-filter /DecodeParms (PNG predictors for Flate/LZW — the xref-
-    * stream convention — and LZW /EarlyChange). Image-only filters
-    * (DCTDecode, JPXDecode, CCITTFaxDecode, JBIG2Decode) pass through raw:
-    * the text layer never needs pixel data.
+    * stream convention — and LZW /EarlyChange). Chains bearing an
+    * image-only filter (DCT/JPX/CCITT/JBIG2) decode to empty — see
+    * `ImageOnlyFilters`.
     */
   def applyFilters(raw: Array[Byte], dict: PDict): Array[Byte] = {
     val filters: Vector[String] = dict.v.get("Filter") match {
@@ -419,6 +429,7 @@ object PdfParser {
       case Some(PArr(fs)) => fs.collect { case PName(f) => f }
       case _ => Vector.empty
     }
+    if (filters.exists(ImageOnlyFilters)) return Array.emptyByteArray
     val parms: Vector[Option[PDict]] =
       dict.v.get("DecodeParms").orElse(dict.v.get("DP")) match {
         case Some(d: PDict) => Vector(Some(d))

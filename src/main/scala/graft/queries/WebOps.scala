@@ -195,7 +195,35 @@ object WebOps {
              SELECT doc_id, CAST(n_tri AS INT) AS n_tri,
                round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / n_tri, 6) AS dup_tri_frac,
                (round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / n_tri, 6) <= 0.3) AS keep
-             FROM m ORDER BY doc_id"""))
+             FROM m ORDER BY doc_id""")),
+
+    // ---- Compression-ratio quality signal (standard curation feature:
+    // text that deflates too well is repetitive/templated — a
+    // complement to q61's explicit trigram measure, catching repeats at
+    // ANY granularity). zlib level 6, one Deflater reused per
+    // partition; deterministic (zlib output is a pure function of
+    // input+level). Rows-only: DuckDB exposes no deflate, so exact
+    // values are pinned by WebOpsSpec instead of an oracle. Map-only at
+    // scale.
+    ("x63_compression_ratio",
+      (s, d) => {
+        import s.implicits._
+        tbl(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
+          .mapPartitions { it =>
+            val deflater = new java.util.zip.Deflater(6)
+            val buf = new Array[Byte](8192)
+            it.map { case (id, text) =>
+              val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              deflater.reset()
+              deflater.setInput(raw); deflater.finish()
+              var n = 0L
+              while (!deflater.finished()) n += deflater.deflate(buf)
+              val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
+              (id, raw.length.toLong, n, math.round(ratio * 1e6) / 1e6, ratio < 0.35)
+            }
+          }.toDF("doc_id", "raw_bytes", "deflated_bytes", "ratio", "repetitive")
+          .orderBy("doc_id")
+      }, None)
   )
 
   /** Public twin of TextOps.docToks (kept private there). */

@@ -64,6 +64,24 @@ class ExtractJobSpec extends SparkSuite {
     }
   }
 
+  test("multi-wave run stages input once, matches single-wave output, cleans up staging") {
+    val outOne = tmpDir("xjob-wave1")
+    val outMany = tmpDir("xjob-wave4")
+    ExtractJob.run(spark, Args(rows = N, out = outOne, buckets = 8))
+    val rows = ExtractJob.run(spark,
+      Args(rows = N, out = outMany, buckets = 8, waveSize = 2, runId = "waved"))
+    assert(rows.map(_.docs).sum == N)
+    // The bucketed staging table is deleted after the run.
+    assert(!new java.io.File(s"${outMany}_staging").exists() ||
+      new java.io.File(s"${outMany}_staging").list().isEmpty)
+    // Output tables are identical row-for-row.
+    val a = spark.read.parquet(outOne).select("url", "text", "word_count", "success")
+      .orderBy("url").collect()
+    val b = spark.read.parquet(outMany).select("url", "text", "word_count", "success")
+      .orderBy("url").collect()
+    assert(a.length == b.length && a.sameElements(b))
+  }
+
   test("--slim job: flat schema, same per-document values as the full run") {
     val outFull = tmpDir("xjob-full")
     val outSlim = tmpDir("xjob-slim")

@@ -73,6 +73,36 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.pages.map(_.blocks.map(_.text)) == clean.pages.map(_.blocks.map(_.text)))
   }
 
+  test("DCT-bearing content stream is skipped; sibling text stream still extracts") {
+    // Page with /Contents [text-stream, DCT-image-stream]: the JPEG
+    // bytes deliberately contain a "(ghost) Tj" pattern that would
+    // fabricate text if the raw stream leaked into the tokenizer.
+    def obj(n: Int, body: String) = s"$n 0 obj\n$body\nendobj\n"
+    def stream(n: Int, dict: String, data: Array[Byte]): Array[Byte] =
+      s"$n 0 obj\n<< $dict /Length ${data.length} >>\nstream\n".getBytes("ISO-8859-1") ++
+        data ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    val text = "BT\n/F1 12 Tf\n72 720 Td\n(kept text) Tj\nET\n".getBytes("ISO-8859-1")
+    val fakeJpeg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte) ++
+      "junk (ghost) Tj more junk".getBytes("ISO-8859-1") ++
+      Array[Byte](0xff.toByte, 0xd9.toByte)
+    val pdf = "%PDF-1.4\n".getBytes("ISO-8859-1") ++
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>").getBytes("ISO-8859-1") ++
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>").getBytes("ISO-8859-1") ++
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>").getBytes("ISO-8859-1") ++
+      stream(4, "", text) ++
+      stream(5, "/Subtype /Image /Filter /DCTDecode", fakeJpeg) ++
+      "trailer\n<< /Root 1 0 R >>\n%%EOF".getBytes("ISO-8859-1")
+    val doc = PdfParser.parse(pdf).toOption.get
+    val texts = doc.pages.flatMap(_.blocks.map(_.text))
+    assert(texts.contains("kept text"), texts)
+    assert(!texts.exists(_.contains("ghost")), texts)
+    // Chain form too: [/FlateDecode /DCTDecode] must also yield empty.
+    import graft.pdf.PdfParser.{PDict, PName, PArr}
+    val chained = PdfParser.applyFilters(fakeJpeg,
+      PDict(Map("Filter" -> PArr(Vector(PName("FlateDecode"), PName("DCTDecode"))))))
+    assert(chained.isEmpty)
+  }
+
   test("corrupted PDF returns Left, never throws") {
     assert(PdfParser.parse(Fixtures.corruptedPdf).isLeft)
     assert(PdfParser.parse("%PDF-1.4\ngarbage garbage".getBytes).isLeft ||

@@ -49,4 +49,29 @@ class WebOpsSpec extends SparkSuite {
     // The corpus is natural-language: most docs pass.
     assert(rows.count(_.getBoolean(6)) > rows.length / 2)
   }
+
+  test("x63: compression ratio is deterministic, bounded, and orders repetitive below varied text") {
+    import spark.implicits._
+    val df = SparkEntry.queries("x63_compression_ratio")(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, comp, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(raw > 0 && comp > 0)
+      assert(ratio > 0 && ratio < 2, r.toString) // zlib header can exceed 1 only on tiny inputs
+      assert(r.getBoolean(4) == (comp.toDouble / raw < 0.35), r.toString)
+    }
+    // Deterministic across runs (same Deflater level/strategy).
+    assert(df.collect().toSeq == rows.toSeq)
+    // Signal direction on known inputs, through the same query over a
+    // planted table: pure repetition deflates far below varied text.
+    val dir = tmpDir("x63_known")
+    Seq((0L, "spam " * 400), (1L, (1 to 400).map(i => s"uniq${i}word$i").mkString(" ")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val known = SparkEntry.queries("x63_compression_ratio")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(known(0L) < 0.05, s"repetitive ratio ${known(0L)}")
+    assert(known(1L) > 2 * known(0L), s"varied ${known(1L)} vs repetitive ${known(0L)}")
+    assert(known(0L) < 0.35 && known(1L) > 0.0)
+  }
 }
