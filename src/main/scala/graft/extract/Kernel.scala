@@ -288,14 +288,46 @@ final class Processor(
         val attempted = pageResults.count(r =>
           pageNeedsOcr(r.page_number, classification, quality))
         val failed = pageErrors.length
-        val fullText = buildTextParts(pageResults).mkString("\n\n")
+        // Single-pass composition: byte-identical to
+        // buildTextParts(...).mkString("\n\n") (that form allocated every
+        // part twice and then re-scanned the full text for its word
+        // count). The word count accumulates as marker words + the
+        // already-computed per-page counts — exact, because the "\n" /
+        // "\n\n" joins are whitespace and Python split can never merge
+        // words across them, and a blank-skipped page contributes 0.
+        val sb = new java.lang.StringBuilder()
+        var wc = 0
+        var firstPart = true
+        pageResults.foreach { r =>
+          if (!PyText.isBlank(r.text)) {
+            if (!firstPart) sb.append("\n\n")
+            firstPart = false
+            if (config.includePageMarkers) {
+              if (r.method == Enums.Direct) {
+                sb.append("--- Page ").append(r.page_number).append(" ---")
+                wc += 4 // "---", "Page", "<n>", "---"
+              } else {
+                // OCR pages are the rare branch: count the short marker
+                // exactly (a method label carrying whitespace would make
+                // a hardcoded 6 wrong).
+                val marker = "--- Page " + r.page_number + " (OCR: " + r.method + ") ---"
+                sb.append(marker)
+                wc += PyText.wordCount(marker)
+              }
+              sb.append('\n')
+            }
+            sb.append(r.text)
+            wc += r.word_count
+          }
+        }
+        val fullText = sb.toString
         ExtractionRecord(
           url = page.url,
           success = true,
           pdf_type = classification.pdf_type,
           total_pages = classification.total_pages,
           text = fullText,
-          word_count = PyText.wordCount(fullText),
+          word_count = wc,
           confidence = classification.confidence,
           extraction_method = determineExtractionMethod(classification, pageResults),
           quality = quality,

@@ -125,8 +125,12 @@ object StreamSegmenter {
         }
 
       case StartTag(name, attrs, selfClosing) =>
-        // Dom.parse auto-close: an opener implicitly closes matching tops.
-        Dom.autoClose.get(name).foreach { closes =>
+        // Dom.parse auto-close: an opener implicitly closes matching
+        // tops. getOrElse(null) instead of get: Map.get allocates a
+        // Some per start tag, and <p>/<li> openers are the bulk of an
+        // article's tag stream.
+        val closes = Dom.autoClose.getOrElse(name, null)
+        if (closes != null) {
           while (stack.nonEmpty && closes.contains(stack(stack.length - 1).tag)) pop()
         }
         val pushed = !selfClosing && !Dom.voidTags.contains(name)

@@ -18,9 +18,13 @@ object PyText {
     * (\t \n \v \f \r \x1c \x1d \x1e \x1f \x85).
     */
   def isPySpace(cp: Int): Boolean = {
-    if (cp == '\t' || cp == '\n' || cp == 0x0b || cp == '\f' || cp == '\r' ||
-        cp == 0x1c || cp == 0x1d || cp == 0x1e || cp == 0x1f || cp == 0x85)
-      return true
+    // ASCII fast path — this predicate is the innermost loop of every
+    // normalize/word-count/strip pass, and Character.getType per char
+    // (previously hit even for the plain space!) dominated it. ASCII
+    // Python whitespace is exactly 0x09-0x0d, 0x1c-0x1f, 0x20.
+    if (cp < 0x80)
+      return cp == ' ' || (cp >= 0x09 && cp <= 0x0d) || (cp >= 0x1c && cp <= 0x1f)
+    if (cp == 0x85) return true
     val t = Character.getType(cp)
     t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
     t == Character.PARAGRAPH_SEPARATOR
