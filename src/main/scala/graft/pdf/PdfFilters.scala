@@ -22,8 +22,17 @@ object PdfFilters {
 
   // ---- Flate ------------------------------------------------------------
 
+  // One Inflater per thread, reset per stream: modern-layout PDFs
+  // decode several flate streams per document (xref stream + ObjStm +
+  // content), and the native zlib alloc/free of a fresh Inflater per
+  // stream was a measurable share of per-PDF cost. Never end()ed —
+  // thread-local lifetime matches the executor thread.
+  private val inflaterTL: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater())
+
   def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
+    val inf = inflaterTL.get()
+    inf.reset()
     inf.setInput(data)
     val out = new ByteArrayOutputStream(math.min(data.length * 4 + 64, 1 << 20))
     val buf = new Array[Byte](8192)
@@ -37,7 +46,6 @@ object PdfFilters {
         guard += 1
       }
     } catch { case _: Exception => /* partial output is fine */ }
-    finally inf.end()
     out.toByteArray
   }
 

@@ -10,8 +10,15 @@ import graft.synth.PageGen
   */
 object KernelProfile {
   def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toInt else 50000
-    val payloads = (0L until n.toLong).map(id => PageGen.row(42L, id)).toArray
+    val n0 = if (args.nonEmpty) args(0).toInt else 50000
+    // Optional family filter (arg 2): stage profile over one family only.
+    val fam = if (args.length > 1) args(1) else ""
+    val all = (0L until n0.toLong).map(id => PageGen.row(42L, id))
+    val payloads =
+      if (fam.isEmpty) all.toArray
+      else (0 until 4).flatMap(_ => all.filter(_.url.contains(s"/$fam/"))).toArray
+    val n = payloads.length
+    if (fam.nonEmpty) println(s"[profile] family=$fam n=$n")
 
     def time(label: String)(f: => Unit): Unit = {
       f; f // warmup (JIT)
@@ -58,7 +65,9 @@ object KernelProfile {
     }
 
     // Per-family cost attribution (where does the corpus's µs/doc go?).
-    val byFamily = payloads.zipWithIndex
+    // Only meaningful on the unfiltered mix (indexes are row ids there).
+    val byFamily = if (fam.nonEmpty) Map.empty[String, Array[(graft.model.Page, Int)]]
+    else payloads.zipWithIndex
       .groupBy { case (_, i) => PageGen.familyFor(42L, PageGen.contentId(42L, i.toLong)) }
     byFamily.toSeq.sortBy(_._1).foreach { case (fam, rowsIdx) =>
       val rows = rowsIdx.map(_._1)
