@@ -54,8 +54,26 @@ object PyText {
     */
   def normalizeSpaces(s: CharSequence): String = {
     val n = s.length
-    val sb = new java.lang.StringBuilder(n)
+    // Fast path: already-normalized input (no leading/trailing space, no
+    // space runs, no non-' ' whitespace) returns without the per-
+    // codepoint rebuild — the common case for per-paragraph flushes.
+    // Char-wise whitespace detection is surrogate-safe: every Unicode
+    // space separator is BMP, and lone surrogate chars type as
+    // SURROGATE (non-space) in isPySpace.
     var i = 0
+    var clean = n > 0
+    var prevSpace = true // a leading space is unclean
+    while (clean && i < n) {
+      val c = s.charAt(i)
+      if (c == ' ') { if (prevSpace) clean = false; prevSpace = true }
+      else if (isPySpace(c)) clean = false
+      else prevSpace = false
+      i += 1
+    }
+    if (clean && !prevSpace) return s.toString
+
+    val sb = new java.lang.StringBuilder(n)
+    i = 0
     var pending = false
     while (i < n) {
       val cp = Character.codePointAt(s, i)
@@ -91,15 +109,16 @@ object PyText {
     * (processor.py:129, backends/base.py:36).
     */
   def wordCount(s: String): Int = {
+    // Char-wise (no codePointAt): surrogate-safe — both halves of a
+    // pair are non-space, so token runs count identically.
     var count = 0
     var i = 0
     val n = s.length
     var inTok = false
     while (i < n) {
-      val cp = s.codePointAt(i)
-      if (isPySpace(cp)) inTok = false
+      if (isPySpace(s.charAt(i))) inTok = false
       else if (!inTok) { inTok = true; count += 1 }
-      i += Character.charCount(cp)
+      i += 1
     }
     count
   }
