@@ -458,13 +458,87 @@ object PipelineOps {
           .orderBy("magic", "media_kind")
       }, None),
 
+    // ---- Image-header decode, oracle-checked (the x46 kernel's image
+    // branch as a hard cross-engine guarantee): the Spark side parses
+    // REAL container bytes (graft.media.ImageHeaders — PNG big-endian
+    // IHDR, JPEG SOFn marker scan, GIF screen descriptor, BMP
+    // BITMAPINFOHEADER, TIFF IFD walk); the DuckDB side never sees a
+    // byte — it re-derives MediaGen.imageFor's generator contract
+    // (format = id%5, dims = (mix64(id^K) & 0x3ff)+16, fixed container
+    // overhead per format) from first principles, q43-style. A green
+    // hash proves the byte writer and the byte parser agree with the
+    // arithmetic spec on every one of the 500 payloads.
+    ("q46_image_dims",
+      (s, _) => {
+        import s.implicits._
+        s.range(0, 500)
+          .map { id =>
+            val (_, bytes) = graft.media.MediaGen.imageFor(id)
+            (id, bytes)
+          }
+          .mapPartitions(_.map { case (id, b) =>
+            val d = graft.media.ImageHeaders.decode(b)
+              .getOrElse(sys.error(s"undecodable synthetic image $id"))
+            (d.format, b.length.toLong, d.width, d.height)
+          })
+          .toDF("format", "n_bytes", "width", "height")
+          .groupBy("format")
+          .agg(count(lit(1)).as("n"),
+               sum("n_bytes").as("total_bytes"),
+               min("width").as("min_w"), max("width").as("max_w"),
+               min("height").as("min_h"), max("height").as("max_h"),
+               sum(col("width").cast("long")).as("sum_w"),
+               sum(col("height").cast("long")).as("sum_h"))
+          .orderBy("format")
+      },
+      Some("""WITH ids AS MATERIALIZED (SELECT unnest(range(0, 500)) AS id),
+             -- splitmix64 finalizer (PageGen.mix64) of id^0x77 → width
+             w1 AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 119) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS wz1,
+                 CAST((CAST(xor(wz1, wz1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS wz2,
+                 CAST((CAST(xor(wz2, wz2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS wz3,
+                 CAST((xor(wz3, wz3 >> 31) & 1023) + 16 AS INT) AS w
+               FROM ids),
+             -- and of id^0x68 → height
+             h1 AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 104) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS hz1,
+                 CAST((CAST(xor(hz1, hz1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS hz2,
+                 CAST((CAST(xor(hz2, hz2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS hz3,
+                 CAST((xor(hz3, hz3 >> 31) & 1023) + 16 AS INT) AS h
+               FROM w1),
+             img AS (
+               SELECT
+                 CASE CAST(id % 5 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                      WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'tiff' END AS format,
+                 -- fixed container overhead per format (MediaGen writers:
+                 -- header + dims + deterministic body of constant size)
+                 CASE CAST(id % 5 AS INT) WHEN 0 THEN 97 WHEN 1 THEN 82
+                      WHEN 2 THEN 45 WHEN 3 THEN 118 ELSE 70 END AS n_bytes,
+                 w, h
+               FROM h1)
+             SELECT format, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                    CAST(min(w) AS INT) AS min_w, CAST(max(w) AS INT) AS max_w,
+                    CAST(min(h) AS INT) AS min_h, CAST(max(h) AS INT) AS max_h,
+                    CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(h) AS BIGINT) AS sum_h
+             FROM img GROUP BY format ORDER BY format""")),
+
     // ---- Time-based media features: audio chunking + frame sampling
     // over real container structure (graft.media.MediaStreams — RIFF/
     // WAVE chunk walk, GIF frame-block walk; framing only, the encoded
     // signal is never decoded). The kernel explodes each payload into
     // its chunk/frame rows — the 1→N per-feature shape — then rolls up
     // per kind; exact per-payload values are pinned by MediaStreamsSpec.
-    ("x52_media_features",
+    // Oracle-matched (was rows-only x52): DuckDB re-derives the
+    // generator contract — wavFor's rate/channels/duration arithmetic
+    // through the RIFF writer's block-aligned data-size truncation and
+    // the parser's floor-division duration, then ceil(dur/500ms)
+    // chunking; gifAnimFor's frame count through every-4th sampling —
+    // so the green hash pins writer, byte-walker, and chunker against
+    // the arithmetic spec on all 400 payloads.
+    ("q52_media_features",
       (s, _) => {
         import s.implicits._
         val audio = s.range(0, 200)
@@ -491,6 +565,68 @@ object PipelineOps {
                sum("dur_ms").as("total_ms"),
                max("idx").as("max_idx"))
           .orderBy("kind")
-      }, None)
+      },
+      Some("""WITH ids AS MATERIALIZED (SELECT unnest(range(0, 200)) AS id),
+             -- mix64(id^0xa1) → sample-rate pick, mix64(id^0xb2) →
+             -- channels, mix64(id^0xc3) → requested duration (wavFor)
+             ra AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 161) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS az1,
+                 CAST((CAST(xor(az1, az1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS az2,
+                 CAST((CAST(xor(az2, az2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS az3,
+                 xor(az3, az3 >> 31) & 3 AS rate_idx
+               FROM ids),
+             rb AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 178) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS bz1,
+                 CAST((CAST(xor(bz1, bz1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS bz2,
+                 CAST((CAST(xor(bz2, bz2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS bz3,
+                 1 + CAST(xor(bz3, bz3 >> 31) & 1 AS BIGINT) AS channels
+               FROM ra),
+             rc AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 195) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS cz1,
+                 CAST((CAST(xor(cz1, cz1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS cz2,
+                 CAST((CAST(xor(cz2, cz2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS cz3,
+                 200 + CAST(xor(cz3, cz3 >> 31) & 2047 AS BIGINT) AS req_ms
+               FROM rb),
+             au AS (
+               SELECT id, channels, req_ms,
+                 CASE CAST(rate_idx AS INT) WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                      WHEN 2 THEN 16000 ELSE 22050 END AS rate
+               FROM rc),
+             -- RIFF writer: dataSize = byteRate*reqMs/1000 floored to
+             -- blockAlign; parser: durationMs = dataSize*1000/byteRate
+             au2 AS (
+               SELECT id,
+                 ((rate * channels * req_ms // 1000) // channels * channels)
+                   * 1000 // (rate * channels) AS dur_ms
+               FROM au),
+             au3 AS (
+               SELECT id, dur_ms, (dur_ms + 499) // 500 AS n_chunks
+               FROM au2 WHERE dur_ms > 0),
+             -- gifAnimFor: frames = 1 + (mix64(id^0xd4) & 31); sample
+             -- every 4th frame starting at 0
+             vd AS MATERIALIZED (
+               SELECT *,
+                 CAST((CAST(CAST(xor(id, 212) AS UBIGINT) AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS dz1,
+                 CAST((CAST(xor(dz1, dz1 >> 30) AS UHUGEINT) * 13787848793156543929) % 18446744073709551616 AS UBIGINT) AS dz2,
+                 CAST((CAST(xor(dz2, dz2 >> 27) AS UHUGEINT) * 10723151780598845931) % 18446744073709551616 AS UBIGINT) AS dz3,
+                 1 + CAST(xor(dz3, dz3 >> 31) & 31 AS BIGINT) AS frames
+               FROM ids)
+             SELECT 'audio_chunk' AS kind,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chunks) AS BIGINT) AS n_features,
+                    CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+                    CAST(max(n_chunks) - 1 AS INT) AS max_idx
+             FROM au3
+             UNION ALL
+             SELECT 'frame_sample' AS kind,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum((frames - 1) // 4 + 1) AS BIGINT) AS n_features,
+                    CAST(0 AS BIGINT) AS total_ms,
+                    CAST(max((frames - 1) // 4 * 4) AS INT) AS max_idx
+             FROM vd
+             ORDER BY kind"""))
   )
 }

@@ -90,12 +90,12 @@ class MediaStreamsSpec extends AnyFunSuite {
   }
 }
 
-/** The x52 media-features query: Spark-side plumbing over the real
+/** The q52 media-features query: Spark-side plumbing over the real
   * container walks (chunk/frame explode → per-kind roll-up).
   */
 class MediaFeaturesQuerySpec extends SparkSuite {
-  test("x52 rolls up audio chunks and sampled frames per kind") {
-    val df = SparkEntry.queries("x52_media_features")(spark, "/root/testdata/sf0.001")
+  test("q52 rolls up audio chunks and sampled frames per kind") {
+    val df = SparkEntry.queries("q52_media_features")(spark, "/root/testdata/sf0.001")
     val byKind = df.collect().map(r => r.getString(0) -> r).toMap
     assert(byKind.keySet == Set("audio_chunk", "frame_sample"))
     val audio = byKind("audio_chunk")
