@@ -1,7 +1,7 @@
 package graft
 
 import graft.extract.Processor
-import graft.queries.{PipelineOps, Relational, TextOps, TrainOps, VectorOps, WebOps}
+import graft.queries.{CorpusOps, PipelineOps, Relational, TextOps, TrainOps, VectorOps, WebOps}
 import graft.synth.PageGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    Relational.defs ++ TextOps.defs ++ VectorOps.defs ++ WebOps.defs ++ TrainOps.defs ++ PipelineOps.defs
+    Relational.defs ++ TextOps.defs ++ VectorOps.defs ++ WebOps.defs ++ TrainOps.defs ++ CorpusOps.defs ++ PipelineOps.defs
 
   /** Flagship: the extraction pipeline end-to-end on a small
     * deterministic page table (driver smoke-checks rows > 0).

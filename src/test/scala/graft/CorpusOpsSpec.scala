@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Corpus-index operators (q67-q70): semantic sanity on the sf0.001
+  * corpus (exact values are pinned by the driver's DuckDB oracles at
+  * sf0.01 — these specs assert the invariants that must hold at ANY
+  * scale) plus the plan-shape guards the 100 TB design relies on.
+  */
+class CorpusOpsSpec extends SparkSuite {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("q67: posting heads are sorted, df-consistent, head-capped") {
+    val rows = SparkEntry.queries("q67_inverted_index")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getAs[Long]("df")
+      val tf = r.getAs[Long]("tf")
+      val head = r.getAs[scala.collection.Seq[Long]]("postings_head")
+      assert(tf >= df, "every distinct doc contributes at least one occurrence")
+      assert(head.size == math.min(df, 5L))
+      assert(head == head.sorted)
+      assert(head.headOption.contains(r.getAs[Long]("first_doc")))
+    }
+  }
+
+  test("q68: exactly top-3 per language, scores non-increasing, exchange reused") {
+    val q = SparkEntry.queries("q68_tfidf_terms")(spark, d)
+    val rows = q.collect()
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("score"))
+      assert(byRank.zip(byRank.drop(1)).forall { case (a, b) => a >= b })
+    }
+    // The (term, lang, doc) count exchange must be computed once and
+    // reused by the df and tf aggregations (the q24 assertion pattern:
+    // check the FINAL adaptive plan).
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("TableCacheQueryStage"),
+      s"expected the token-count exchange to be reused:\n$plan")
+  }
+
+  test("q69: entropy bounded by ln(n_uniq), low-entropy flag consistent") {
+    val rows = SparkEntry.queries("q69_token_entropy")(spark, d).collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val u = r.getAs[Long]("n_uniq")
+      assert(h >= -1e-9, "entropy is non-negative")
+      assert(h <= math.log(u.toDouble) + 1e-6, "uniform distribution maximizes entropy")
+      assert(r.getAs[Boolean]("low_entropy") == (h < 2.0))
+    }
+  }
+
+  test("q70: cross-doc shared spans detected; coverage invariants hold") {
+    val rows = SparkEntry.queries("q70_dup_span_coverage")(spark, d).collect()
+    // The corpus has near-duplicate pairs (q23's Jaccard >= 0.5 set is
+    // non-empty), so cross-document shared 8-grams must surface.
+    assert(rows.count(_.getAs[Long]("covered") > 0) > 0,
+      "near-dup corpus should contain shared 8-token spans")
+    rows.foreach { r =>
+      val n = r.getAs[Int]("n_toks")
+      val c = r.getAs[Long]("covered")
+      assert(c <= n)
+      if (n < 8) assert(c == 0L)
+      assert(r.getAs[Boolean]("keep") == (c.toDouble / n <= 0.5))
+    }
+    // Ground-truth cross-check on one shared span: brute-force the
+    // 8-gram sets driver-side and compare the covered-doc ID set.
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("t").split("\\s+").filter(_.nonEmpty))
+    val grams = docs.flatMap { case (id, ts) =>
+      ts.sliding(8).filter(_.length == 8).map(g => (g.mkString(" "), id))
+    }
+    val dupDocs = grams.groupBy(_._1).values
+      .filter(_.map(_._2).distinct.length > 1).flatten.map(_._2).toSet
+    assert(rows.filter(_.getAs[Long]("covered") > 0)
+      .map(_.getAs[Long]("doc_id")).toSet == dupDocs)
+  }
+}
