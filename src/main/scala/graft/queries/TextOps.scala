@@ -203,27 +203,16 @@ object TextOps {
     ("q24p_minhash_prod",
       (s, d) => {
         graft.plans.GraftFunctions.ensureRegistered(s)
-        val base = docToks(s, d)
-          .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
-          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
-        val enriched = base.select(col("doc_id"),
-            array_sort(transform(col("shingles"), x => xxhash64(x))).as("hsh"),
-            transform(sequence(lit(0), lit(15)),
-              j => array_min(transform(col("shingles"), t => xxhash64(j, t)))).as("sigs"))
-          .localCheckpoint()
         // 8 bands × 2 rows (vs q24's 4×4): the banding S-curve midpoint
         // moves from J≈0.66 down to J≈0.29, so recall AT the 0.5
         // decision threshold is ~90% per pair and ≥1-2e-6 for the
         // J≥0.9 near-dups this corpus plants — the 4×4 curve misses a
         // J=0.9 pair with ~1.4% probability, which is the wrong trade
-        // when candidates are verified exactly anyway.
-        val bands = enriched
-          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band_id"), col("sigs"))
-          // Band signature compacted to one 64-bit key: the shuffle
-          // carries 8 bytes per (doc, band), not raw digests.
-          .withColumn("band_sig",
-            xxhash64(col("band_id"), concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
-          .select("doc_id", "band_id", "band_sig")
+        // when candidates are verified exactly anyway. Sketch + banding
+        // + verify live in queries.Sketch (shared with q53 and the
+        // streaming incremental dedup).
+        val enriched = Sketch.sketch(tbl(s, d, "documents")).localCheckpoint()
+        val bands = Sketch.bandRows(enriched)
         val a = bands.withColumnRenamed("doc_id", "doc_a")
         val b = bands.withColumnRenamed("doc_id", "doc_b")
         val cand = a.hint("shuffle_hash").join(b, Seq("band_id", "band_sig"))
@@ -232,11 +221,7 @@ object TextOps {
         cand
           .join(enriched.select(col("doc_id").as("doc_a"), col("hsh").as("sh_a")), Seq("doc_a"))
           .join(enriched.select(col("doc_id").as("doc_b"), col("hsh").as("sh_b")), Seq("doc_b"))
-          .withColumn("c", call_function("sorted_intersect_count", col("sh_a"), col("sh_b")))
-          .withColumn("jaccard",
-            col("c").cast("double") /
-              (size(col("sh_a")) + size(col("sh_b")) - col("c")).cast("double"))
-          .where(col("jaccard") >= 0.5)
+          .where(Sketch.jaccard(col("sh_a"), col("sh_b")) >= 0.5)
           .select(col("doc_a"), col("doc_b"))
           .orderBy("doc_a", "doc_b")
       },
@@ -265,21 +250,9 @@ object TextOps {
     ("q53_incremental_dedup",
       (s, d) => {
         graft.plans.GraftFunctions.ensureRegistered(s)
-        val base = docToks(s, d)
-          .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
-          .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
-        val hashed = base.select(col("doc_id"),
-            array_sort(transform(col("shingles"), x => xxhash64(x))).as("hsh"),
-            transform(sequence(lit(0), lit(15)),
-              j => array_min(transform(col("shingles"), t => xxhash64(j, t)))).as("sigs"))
-          .localCheckpoint()
-        def bands(df: DataFrame) = df
-          .select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("band_id"), col("sigs"))
-          .withColumn("band_sig",
-            xxhash64(col("band_id"), concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
-          .select("doc_id", "band_id", "band_sig")
-        val corpus = bands(hashed.where(col("doc_id") % 5 =!= 0))
-        val batch = bands(hashed.where(col("doc_id") % 5 === 0))
+        val hashed = Sketch.sketch(tbl(s, d, "documents")).localCheckpoint()
+        val corpus = Sketch.bandRows(hashed.where(col("doc_id") % 5 =!= 0))
+        val batch = Sketch.bandRows(hashed.where(col("doc_id") % 5 === 0))
           .withColumnRenamed("doc_id", "b_id")
         val cand = batch.hint("shuffle_hash")
           .join(corpus.withColumnRenamed("doc_id", "c_id"), Seq("band_id", "band_sig"))
@@ -287,11 +260,7 @@ object TextOps {
         val hits = cand
           .join(hashed.select(col("doc_id").as("b_id"), col("hsh").as("h_b")), Seq("b_id"))
           .join(hashed.select(col("doc_id").as("c_id"), col("hsh").as("h_c")), Seq("c_id"))
-          .withColumn("c", call_function("sorted_intersect_count", col("h_b"), col("h_c")))
-          .withColumn("j",
-            col("c").cast("double") /
-              (size(col("h_b")) + size(col("h_c")) - col("c")).cast("double"))
-          .where(col("j") >= 0.5)
+          .where(Sketch.jaccard(col("h_b"), col("h_c")) >= 0.5)
           .groupBy("b_id").agg(min("c_id").as("dup_of"))
         // Every batch doc gets a verdict — including short docs the
         // shingle precondition filtered out (no shingles → trivially kept).

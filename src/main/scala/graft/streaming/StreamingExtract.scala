@@ -214,6 +214,125 @@ object StreamingExtract {
       .start()
   }
 
+  /** Incremental NEAR-dup dedup over a continuously-fed documents table:
+    * each micro-batch is MinHash-sketched (queries.Sketch — the q24p/q53
+    * production hash family), LSH-banded against (a) itself and (b) the
+    * signature store accumulated from every earlier batch, candidates
+    * are verified with exact shingle-set Jaccard, and only novel
+    * documents are emitted. This is the streaming form of the
+    * oracle-verified q53 operator — `foreachBatch` + an explicit
+    * signature table instead of a keyed state store, because the LSH
+    * verdict needs cross-key coordination (a document's B bands must be
+    * judged together) that single-key `mapGroupsWithState` cannot
+    * express, and because the signature table IS the artifact a
+    * production pipeline wants (the corpus side of every future
+    * ingest's band join, per q53's scale note).
+    *
+    * Exactly-once: `foreachBatch` is at-least-once, so both sinks write
+    * to `batch_id=<id>` subdirectories with overwrite — a replayed
+    * batch rewrites its own partition byte-identically. Within a batch
+    * the lower doc_id survives; against the store the arriving doc is
+    * always the one dropped. Greedy pair-drop (not clustering): if A
+    * drops B and corpus-dup C also drops A's batch-mate, a cluster can
+    * lose all batch members — the q35 component pass is the clustering
+    * variant (same trade documented at CorpusPipeline's near-dup stage).
+    *
+    * Scale: per-ingest cost is O(batch) — the store side of the band
+    * join prunes to colliding signatures and is never self-joined; the
+    * store grows one compact sketch row (16+|shingles| longs) per
+    * NOVEL document, not per arrival.
+    */
+  def nearDedupStream(
+      spark: SparkSession,
+      inputDir: String,
+      outDir: String,
+      checkpointDir: String,
+      sigDir: String,
+      threshold: Double = 0.5,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .select("doc_id", "text", "lang")
+      .writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        nearDedupBatch(batch, batchId, outDir, sigDir, threshold)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One micro-batch of the incremental near-dup (also the unit a batch
+    * backfill calls directly, one invocation per ingest).
+    */
+  def nearDedupBatch(
+      batchDf: DataFrame,
+      batchId: Long,
+      outDir: String,
+      sigDir: String,
+      threshold: Double): Unit = {
+    import graft.queries.Sketch
+    // foreachBatch hands a Dataset bound to a CLONED SparkSession (the
+    // micro-batch's isolated session state): the sketch functions must
+    // be registered there, not on the caller's session.
+    val s = batchDf.sparkSession
+    graft.plans.GraftFunctions.ensureRegistered(s)
+    val batch = batchDf.localCheckpoint()
+    val sk = Sketch.sketch(batch).localCheckpoint()
+    val bandsB = Sketch.bandRows(sk)
+
+    // Signature store from earlier batches (absent on the first).
+    val store: Option[DataFrame] = {
+      val path = new org.apache.hadoop.fs.Path(sigDir)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path) && fs.listStatus(path).nonEmpty)
+        // Exclude THIS batch's partition: a foreachBatch retry runs
+        // after the failed attempt may already have written its
+        // signatures, and judging a batch against its own sketches
+        // would drop every document as a dup of itself (partition
+        // pruning makes the exclusion free). Then project the
+        // batch_id partition-discovery column away — the store is one
+        // logical sketch table.
+        Some(s.read.parquet(sigDir)
+          .where(col("batch_id") =!= batchId)
+          .select("doc_id", "hsh", "sigs"))
+      else None
+    }
+
+    // Candidates: within-batch (min doc_id survives) ∪ batch-vs-store
+    // (the store doc always survives). Both joins are on the compact
+    // 64-bit band keys; the verify join pulls shingle-hash arrays for
+    // candidates only.
+    val a = bandsB.withColumnRenamed("doc_id", "doc_a")
+    val b = bandsB.withColumnRenamed("doc_id", "doc_b")
+    val inBatch = a.join(b, Seq("band_id", "band_sig"))
+      .where(col("doc_a") > col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val cands = store match {
+      case Some(st) =>
+        inBatch.unionByName(
+          bandsB.withColumnRenamed("doc_id", "doc_a")
+            .join(Sketch.bandRows(st).withColumnRenamed("doc_id", "doc_b"),
+              Seq("band_id", "band_sig"))
+            .select("doc_a", "doc_b").distinct())
+      case None => inBatch
+    }
+    val allSk = store.map(st => sk.unionByName(st)).getOrElse(sk)
+    val dups = cands
+      .join(sk.select(col("doc_id").as("doc_a"), col("hsh").as("h_a")), Seq("doc_a"))
+      .join(allSk.select(col("doc_id").as("doc_b"), col("hsh").as("h_b")), Seq("doc_b"))
+      .where(Sketch.jaccard(col("h_a"), col("h_b")) >= threshold)
+      .select(col("doc_a").as("doc_id")).distinct()
+
+    val kept = batch.join(dups, Seq("doc_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+    // Novel documents' sketches extend the store (idempotent per batch).
+    sk.join(dups, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+  }
+
   /** One metrics row per extracted page (event time carried through the
     * kernel for windowing).
     */
