@@ -140,19 +140,10 @@ object CorpusPipeline {
     // pairs through q35's connected-components logic and keeps exactly
     // ONE representative (min url) per transitive component — the
     // standard corpus-dedup choice (collapses the star to A alone).
-    val sk = exact
-      .where(col("text").rlike("\\S+\\s+\\S+\\s+\\S+"))
-      .withColumn("sh", sh3(col("toks")))
-      .select(col("url"),
-        array_sort(transform(col("sh"), x => xxhash64(x))).as("hsh"),
-        transform(sequence(lit(0), lit(15)),
-          j => array_min(transform(col("sh"), t => xxhash64(j, t)))).as("sigs"))
-      .localCheckpoint()
-    val bands = sk.select(col("url"),
-        explode(sequence(lit(0), lit(7))).as("band_id"), col("sigs"))
-      .withColumn("band_sig",
-        xxhash64(col("band_id"), concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
-      .select("url", "band_id", "band_sig")
+    // The hash family lives in queries.Sketch (shared with q24p/q53 and
+    // the streaming incremental dedup) — one place to tune bands/hashes.
+    val sk = graft.queries.Sketch.sketch(exact, idCol = "url").localCheckpoint()
+    val bands = graft.queries.Sketch.bandRows(sk, idCol = "url")
     val cand = bands.withColumnRenamed("url", "url_a").hint("shuffle_hash")
       .join(bands.withColumnRenamed("url", "url_b"), Seq("band_id", "band_sig"))
       .where(col("url_a") < col("url_b"))
@@ -160,9 +151,7 @@ object CorpusPipeline {
     val verified = cand
       .join(sk.select(col("url").as("url_a"), col("hsh").as("h_a")), Seq("url_a"))
       .join(sk.select(col("url").as("url_b"), col("hsh").as("h_b")), Seq("url_b"))
-      .withColumn("c", call_function("sorted_intersect_count", col("h_a"), col("h_b")))
-      .where(col("c").cast("double") /
-        (size(col("h_a")) + size(col("h_b")) - col("c")).cast("double") >= lit(0.5))
+      .where(graft.queries.Sketch.jaccard(col("h_a"), col("h_b")) >= lit(0.5))
       .select("url_a", "url_b")
     val dropUrls =
       if (a.cluster)

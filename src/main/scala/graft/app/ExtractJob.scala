@@ -184,7 +184,7 @@ object ExtractJob {
         Some(dir)
       }
 
-    waves.foreach { wave =>
+    try waves.foreach { wave =>
       val waveSet = wave.toSet
       val sub0 = staging match {
         case Some(dir) =>
@@ -236,7 +236,11 @@ object ExtractJob {
       if (a.checkpoint.nonEmpty) Checkpoint.append(spark, a.checkpoint, rows)
       allRows ++= rows
     }
-    staging.foreach { dir =>
+    // finally: a failed wave must not leak the staging copy of the
+    // input (near-input-sized — tens of TB at the design point). A
+    // checkpoint-resume rerun rebuilds staging from the source, so
+    // deleting it on failure loses no state.
+    finally staging.foreach { dir =>
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }

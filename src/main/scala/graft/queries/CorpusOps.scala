@@ -151,12 +151,16 @@ object CorpusOps {
         val t = tbl(s, d, "documents")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .withColumn("n_toks", size(col("toks")))
+        // windows feeds BOTH the dup-set aggregation and the coverage
+        // join: materialize it once or the md5-per-window explode (the
+        // query's dominant cost) executes twice in one plan.
         val windows = t.where(col("n_toks") >= 8)
           .select(col("doc_id"),
             posexplode(transform(sequence(lit(0), col("n_toks") - 8),
               i => md5(concat_ws(" ",
                 (1 to 8).map(k => element_at(col("toks"), i + k)): _*)))))
           .toDF("doc_id", "pos", "h")
+          .localCheckpoint()
         val dups = windows.groupBy("h")
           .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1).select("h")
         val covered = windows.join(dups, "h")

@@ -34,25 +34,35 @@ object Sketch {
     * (localCheckpoint / a signature table) so the shingle pipeline runs
     * once per document ever.
     */
-  def sketch(docs: DataFrame): DataFrame = docs
+  def sketch(docs: DataFrame, idCol: String = "doc_id"): DataFrame = docs
     .where(hasShingles)
     .withColumn("toks", tokens(col("text")))
-    .select(col("doc_id"), shingles3(col("toks")).as("shingles"))
-    .select(col("doc_id"),
+    .select(col(idCol), shingles3(col("toks")).as("shingles"))
+    .select(col(idCol),
       array_sort(transform(col("shingles"), x => xxhash64(x))).as("hsh"),
       transform(sequence(lit(0), lit(NumHashes - 1)),
         j => array_min(transform(col("shingles"), t => xxhash64(j, t)))).as("sigs"))
 
+  /** The 8 compact band signatures of a `sigs` minhash array, as an
+    * array column (each = 64-bit hash of that band's 2 minhashes) —
+    * precomputable once and STORED, so a signature table never re-pays
+    * the banding hash work on the read side.
+    */
+  def bandSigs(sigs: Column): Column =
+    transform(sequence(lit(0), lit(Bands - 1)),
+      b => xxhash64(b, concat_ws(",", slice(sigs, b * 2 + 1, lit(2)))))
+
   /** Sketch rows → (doc_id, band_id, band_sig) — the LSH join key rows.
     * The shuffle carries 8 bytes of signature per (doc, band).
     */
-  def bandRows(df: DataFrame): DataFrame = df
-    .select(col("doc_id"), explode(sequence(lit(0), lit(Bands - 1))).as("band_id"),
-      col("sigs"))
-    .withColumn("band_sig",
-      xxhash64(col("band_id"),
-        concat_ws(",", slice(col("sigs"), col("band_id") * 2 + 1, lit(2)))))
-    .select("doc_id", "band_id", "band_sig")
+  def bandRows(df: DataFrame, idCol: String = "doc_id"): DataFrame =
+    explodeBands(df.select(col(idCol), bandSigs(col("sigs")).as("bands")), idCol)
+
+  /** (doc_id, bands) rows with PRECOMPUTED band signatures → the same
+    * (doc_id, band_id, band_sig) join rows as `bandRows`, no hashing.
+    */
+  def explodeBands(df: DataFrame, idCol: String = "doc_id"): DataFrame = df
+    .select(col(idCol), posexplode(col("bands")).as(Seq("band_id", "band_sig")))
 
   /** Exact Jaccard of two sorted shingle-hash arrays via the codegen'd
     * sorted-merge intersection (register graft.plans.GraftFunctions

@@ -307,11 +307,14 @@ object TextOps {
         import org.apache.spark.sql.expressions.Window
         val t = tbl(s, d, "documents")
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+        // paras feeds both the keep-first window and the per-doc total:
+        // materialize once so the paragraph explode runs once per plan.
         val paras = t.select(col("doc_id"),
             posexplode(transform(
               sequence(lit(0), ((size(col("toks")) + 9) / 10).cast("int") - 1),
               g => array_join(slice(col("toks"), g * 10 + 1, lit(10)), " ")))
               .as(Seq("pidx", "para")))
+          .localCheckpoint()
         val w = Window.partitionBy("para").orderBy("doc_id", "pidx")
         val kept = paras.withColumn("occ", row_number().over(w))
           .where(col("occ") === 1)

@@ -81,10 +81,16 @@ object VectorOps {
     * query searches its top-`probes` cells (multi-probe — the recall
     * knob; see BENCH.md scale-path quality table).
     */
-  private def ivfAssign(s: SparkSession, d: String, probes: Int = 1): DataFrame = {
+  private def ivfAssign(s: SparkSession, d: String, probes: Int = 1,
+      centroids: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val dots = e.join(broadcast(ivfCentroids(s, d)), lit(true))
+    // The Lloyd pass is a full corpus scan: materialize its tiny k×dim
+    // result so no query plan embeds (and re-executes) it twice —
+    // callers that assign at several probe depths pass ONE shared
+    // centroid table in.
+    val cents = centroids.getOrElse(ivfCentroids(s, d).localCheckpoint())
+    val dots = e.join(broadcast(cents), lit(true))
       .withColumn("cdot", call_function("vector_dot", col("v"), col("cv")) / col("cnrm"))
     val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell").asc)
     dots.withColumn("rn", row_number().over(w)).where(col("rn") <= probes)
@@ -208,7 +214,9 @@ object VectorOps {
     ("q33_ivf_topk",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val assign = ivfAssign(s, d)
+        // assign feeds both the query and neighbor sides: materialize it
+        // once (same rationale as q24p's `enriched`).
+        val assign = ivfAssign(s, d).localCheckpoint()
         val q = assign.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("cell"),
             col("v").as("qv"), col("nrm").as("qn"))
@@ -244,8 +252,11 @@ object VectorOps {
     ("q39_ivf_multiprobe",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
-        val assign = ivfAssign(s, d)
-        val probes = ivfAssign(s, d, probes = 3)
+        // One Lloyd pass shared by both probe depths, and the corpus
+        // assignment materialized once for the join's neighbor side.
+        val cents = ivfCentroids(s, d).localCheckpoint()
+        val assign = ivfAssign(s, d, centroids = Some(cents)).localCheckpoint()
+        val probes = ivfAssign(s, d, probes = 3, centroids = Some(cents))
         val q = probes.where(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("cell"),
             col("v").as("qv"), col("nrm").as("qn"))

@@ -212,7 +212,7 @@ object WebOps {
           .mapPartitions { it =>
             val deflater = new java.util.zip.Deflater(6)
             val buf = new Array[Byte](8192)
-            it.map { case (id, text) =>
+            val out = it.map { case (id, text) =>
               val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               deflater.reset()
               deflater.setInput(raw); deflater.finish()
@@ -220,6 +220,17 @@ object WebOps {
               while (!deflater.finished()) n += deflater.deflate(buf)
               val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
               (id, raw.length.toLong, n, math.round(ratio * 1e6) / 1e6, ratio < 0.35)
+            }
+            // Release the native zlib buffers when the partition is
+            // exhausted instead of waiting for the Cleaner at some later
+            // GC (many short tasks would pile up off-heap memory).
+            new Iterator[(Long, Long, Long, Double, Boolean)] {
+              def hasNext: Boolean = {
+                val h = out.hasNext
+                if (!h) deflater.end()
+                h
+              }
+              def next(): (Long, Long, Long, Double, Boolean) = out.next()
             }
           }.toDF("doc_id", "raw_bytes", "deflated_bytes", "ratio", "repetitive")
           .orderBy("doc_id")

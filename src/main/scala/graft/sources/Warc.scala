@@ -352,7 +352,15 @@ object Warc {
     if (got > 0) pb.unread(head, 0, got)
     val in: java.io.InputStream =
       if (got == 2 && head(0) == 0x1f.toByte && head(1) == 0x8b.toByte)
-        new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+        // The constructor eagerly reads the gzip header: a file whose
+        // first two bytes happen to be 1f 8b but whose header is
+        // truncated/corrupt must degrade to an empty record stream
+        // (never-throw contract), not kill the Spark task.
+        try new java.util.zip.GZIPInputStream(pb, 64 * 1024)
+        catch { case _: java.io.IOException =>
+          try pb.close() catch { case _: java.io.IOException => }
+          java.io.InputStream.nullInputStream()
+        }
       else pb
 
     val rs = new RecordStream(in)
@@ -436,12 +444,28 @@ object Warc {
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new HPath(path)
     val fs = root.getFileSystem(hconf)
-    val statuses =
-      if (fs.isDirectory(root)) fs.listStatus(root).toSeq
-      else Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
-    val files = statuses.filter(_.isFile).map(_.getPath)
+    // Recursive listing (Common-Crawl segments nest archives in
+    // subdirectories) and LOUD failure on a missing path or a glob
+    // matching nothing — a typo'd --input must not complete as a
+    // zero-page "success" (the old binaryFile source also threw).
+    def leafFiles(p: HPath): Seq[HPath] = {
+      val it = fs.listFiles(p, /* recursive = */ true)
+      val out = Seq.newBuilder[HPath]
+      while (it.hasNext) out += it.next().getPath
+      out.result()
+    }
+    val roots =
+      if (fs.isDirectory(root)) Seq(root)
+      else {
+        val matched = Option(fs.globStatus(root)).map(_.toSeq).getOrElse(Seq.empty)
+        require(matched.nonEmpty, s"WARC input path does not exist or matches nothing: $path")
+        matched.map(_.getPath)
+      }
+    val files = roots
+      .flatMap(r => if (fs.isDirectory(r)) leafFiles(r) else Seq(r))
       .filterNot { p => val n = p.getName; n.startsWith(".") || n.startsWith("_") }
       .map(_.toString).sorted
+    require(files.nonEmpty, s"no WARC archives found under: $path")
     val confBc = spark.sparkContext.broadcast(
       new org.apache.spark.SerializableWritable(hconf))
     spark.createDataset(files)

@@ -237,10 +237,14 @@ object StreamingExtract {
     * lose all batch members — the q35 component pass is the clustering
     * variant (same trade documented at CorpusPipeline's near-dup stage).
     *
-    * Scale: per-ingest cost is O(batch) — the store side of the band
-    * join prunes to colliding signatures and is never self-joined; the
-    * store grows one compact sketch row (16+|shingles| longs) per
-    * NOVEL document, not per arrival.
+    * Scale: per-ingest COMPUTE is O(batch) — sketching happens only on
+    * arriving documents, the store ships precomputed 64-bit band keys
+    * (no re-hashing on read), and the store is never self-joined. The
+    * band join still SCANS the store's compact key rows each trigger
+    * (8 longs + the verify array per novel doc ever); at cluster scale
+    * that side is bucketed by band_sig so the join is co-located and
+    * the scan prunes to the batch's buckets. The store grows one row
+    * per NOVEL document, not per arrival.
     */
   def nearDedupStream(
       spark: SparkSession,
@@ -280,8 +284,13 @@ object StreamingExtract {
     val s = batchDf.sparkSession
     graft.plans.GraftFunctions.ensureRegistered(s)
     val batch = batchDf.localCheckpoint()
-    val sk = Sketch.sketch(batch).localCheckpoint()
-    val bandsB = Sketch.bandRows(sk)
+    // Band signatures are computed once here and PERSISTED with the
+    // sketch, so later batches' band joins read precomputed 64-bit keys
+    // instead of re-hashing the whole store every trigger.
+    val sk = Sketch.sketch(batch)
+      .withColumn("bands", Sketch.bandSigs(col("sigs")))
+      .localCheckpoint()
+    val bandsB = Sketch.explodeBands(sk)
 
     // Signature store from earlier batches (absent on the first).
     val store: Option[DataFrame] = {
@@ -297,7 +306,7 @@ object StreamingExtract {
         // logical sketch table.
         Some(s.read.parquet(sigDir)
           .where(col("batch_id") =!= batchId)
-          .select("doc_id", "hsh", "sigs"))
+          .select("doc_id", "hsh", "bands"))
       else None
     }
 
@@ -314,12 +323,14 @@ object StreamingExtract {
       case Some(st) =>
         inBatch.unionByName(
           bandsB.withColumnRenamed("doc_id", "doc_a")
-            .join(Sketch.bandRows(st).withColumnRenamed("doc_id", "doc_b"),
+            .join(Sketch.explodeBands(st).withColumnRenamed("doc_id", "doc_b"),
               Seq("band_id", "band_sig"))
             .select("doc_a", "doc_b").distinct())
       case None => inBatch
     }
-    val allSk = store.map(st => sk.unionByName(st)).getOrElse(sk)
+    val allSk = store
+      .map(st => sk.select("doc_id", "hsh", "bands").unionByName(st))
+      .getOrElse(sk.select("doc_id", "hsh", "bands"))
     val dups = cands
       .join(sk.select(col("doc_id").as("doc_a"), col("hsh").as("h_a")), Seq("doc_a"))
       .join(allSk.select(col("doc_id").as("doc_b"), col("hsh").as("h_b")), Seq("doc_b"))
@@ -328,8 +339,11 @@ object StreamingExtract {
 
     val kept = batch.join(dups, Seq("doc_id"), "left_anti")
     kept.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
-    // Novel documents' sketches extend the store (idempotent per batch).
+    // Novel documents' sketches extend the store (idempotent per
+    // batch); `sigs` is dropped — future joins need only the verify
+    // arrays and the precomputed band keys.
     sk.join(dups, Seq("doc_id"), "left_anti")
+      .select("doc_id", "hsh", "bands")
       .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
   }
 

@@ -248,6 +248,28 @@ class WarcSpec extends SparkSuite {
     assert(got.toSeq == (a ++ b).map(_.url).sorted)
   }
 
+  test("corrupt gzip header (1f 8b + garbage) yields empty, never throws") {
+    val junk = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x7f, 0x00)
+    assert(Warc.streamPages(new java.io.ByteArrayInputStream(junk)).isEmpty)
+    assert(Warc.streamPages(new java.io.ByteArrayInputStream(
+      Array[Byte](0x1f.toByte, 0x8b.toByte))).isEmpty)
+  }
+
+  test("readPages fails LOUDLY on a missing path and lists subdirectories recursively") {
+    intercept[IllegalArgumentException] {
+      Warc.readPages(spark, "/tmp/does_not_exist_graft_warc_*")
+    }
+    // Nested segment layout (CC-style dir/segment/archive).
+    val dir = tmpDir("warc_nested")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/seg0"))
+    val a = (0L until 20L).map(id => PageGen.row(5L, id))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/seg0/a.warc"), Warc.write(a))
+    assert(Warc.readPages(spark, dir).count() == 20)
+    // A directory with no archives at all is loud too.
+    val empty = tmpDir("warc_empty")
+    intercept[IllegalArgumentException] { Warc.readPages(spark, empty) }
+  }
+
   test("ExtractJob ingests WARC archives directly (--input-format warc)") {
     import graft.app.ExtractJob
     val in = tmpDir("warc_job_in")
