@@ -14,7 +14,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Clean slate: a reused outDir must not keep results of queries that
+    // no longer exist (renames would leave stale dirs beside the fresh
+    // ones and misread as live surface).
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.exists()) {
+      import scala.reflect.io.Directory
+      new Directory(outRoot).deleteRecursively()
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
