@@ -167,7 +167,26 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => MinhashMd5(exprs(0))),
     (FunctionIdentifier("simhash_md5"),
       new ExpressionInfo(classOf[SimhashMd5].getName, "simhash_md5"),
-      (exprs: Seq[Expression]) => SimhashMd5(exprs(0))))
+      (exprs: Seq[Expression]) => SimhashMd5(exprs(0))),
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // internal runtime-filter rewrite but does not register them as SQL
+    // functions; exposing them here gives the query surface a native
+    // (codegen-friendly, UDF-free) bloom build + membership probe.
+    // graft_bloom_agg(xxhash64(k), estimatedItems) -> binary;
+    // graft_might_contain(bloomBinary, xxhash64(k)) -> boolean.
+    (FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
 
   /** Imperative registration (idempotent) for sessions built without the
     * extensions config.

@@ -198,6 +198,61 @@ object CorpusOps {
                     round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_toks, 6) AS dup_frac,
                     (CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_toks <= 0.5) AS keep
              FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
-             ORDER BY b.doc_id"""))
+             ORDER BY b.doc_id""")),
+
+    // ---- Statistical-LM fluency scoring (the CCNet/Wenzek et al. 2020
+    // perplexity filter, with the KenLM 5-gram model replaced by a
+    // corpus-trained word-bigram model with add-one smoothing — the same
+    // filter shape, deterministic and oracle-expressible). Per document:
+    // cross-entropy = -avg ln P(w_i | w_{i-1}), P = (c2+1)/(c1+V).
+    // High cross-entropy = improbable word sequences (gibberish, keyword
+    // stuffing); a standard curation signal next to q27/q56/q61/q69.
+    // Scale shape: the bigram explode stays in the scan stage; model
+    // counts are two algebraic aggregates on compact (w1[,w2]) keys; the
+    // scoring join carries (doc_id, w1, w2) — never text. At production
+    // scale the model is trained once, pruned to top-M n-grams, and
+    // BROADCAST to the scoring pass (the per-ingest cost is map-only);
+    // here model and corpus are the same small table so plain joins win.
+    ("q72_lm_perplexity",
+      (s, d) => {
+        val t = tbl(s, d, "documents").select(col("doc_id"), tokens(col("text")).as("toks"))
+        // bigram occurrences feed the two model aggregates AND the
+        // scoring join: materialize once so the explode runs once.
+        val bi = t.where(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => struct(element_at(col("toks"), i + 1).as("w1"),
+                          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .localCheckpoint()
+        val c2 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = t.select(explode(col("toks")).as("w"))
+          .agg(countDistinct("w")).head.getLong(0)
+        bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(log((col("c2") + lit(1)).cast("double") /
+                    (col("c1") + lit(vocab)).cast("double"))).as("ll"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-col("ll") / col("n_bigrams").cast("double"), 6).as("cross_entropy"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+               FROM documents),
+             bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                    FROM t, unnest(range(1, len(toks))) AS u(i)
+                    WHERE len(toks) >= 2),
+             c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+             c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+             v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+                   FROM (SELECT unnest(toks) AS term FROM t)),
+             sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                      sum(ln((c2 + 1.0) / (c1 + v))) AS ll
+                    FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+                    GROUP BY doc_id)
+             SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                    round(-ll / n_bigrams, 6) AS cross_entropy
+             FROM sc ORDER BY doc_id"""))
   )
 }

@@ -346,6 +346,60 @@ object TextOps {
                coalesce(kept.clean_digest, md5('')) AS clean_digest
              FROM tot LEFT JOIN kept USING (doc_id) ORDER BY doc_id""")),
 
+    // ---- Bloom-prefiltered incremental exact dedup: the arriving batch
+    // (doc_id % 5 == 0, as in q53) is deduplicated against the corpus on
+    // a leading-text digest (md5 of the first 16 lowercased tokens — the
+    // newswire-republication key: syndicated copies share their lede
+    // even when trailing boilerplate differs). The corpus side is
+    // summarized into a BLOOM FILTER built distributed in one partial
+    // aggregate (Spark's native BloomFilterAggregate, exposed as
+    // graft_bloom_agg — codegen probe, no UDF); the batch probes it
+    // map-side and only the ~hit fraction reaches the verify join, whose
+    // exact digest match removes bloom false positives. Output is
+    // therefore EXACT — the oracle is the plain semi-join, independent
+    // of bloom internals — and a green row proves the prefilter dropped
+    // no true duplicate (bloom filters have no false negatives; the spec
+    // additionally pins candidates ⊇ hits).
+    // 100 TB shape: the per-ingest cost is one broadcast-size bloom
+    // (1.2 MB per 10^6 corpus keys at 1% fpp — fine to ~10^9 keys;
+    // beyond that shard the filter by digest prefix and probe the
+    // matching shard) plus a join whose corpus side is pre-filtered to
+    // batch-hit digests. Unique-batch rows — the overwhelming majority
+    // on a real crawl — never shuffle at all.
+    ("q71_bloom_dedup",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        val keyed = tbl(s, d, "documents")
+          .select(col("doc_id"),
+            md5(array_join(slice(tokens(col("text")), 1, 16), " ")).as("k"))
+        val corpus = keyed.where(col("doc_id") % 5 =!= 0)
+        val batch = keyed.where(col("doc_id") % 5 === 0)
+        val bloomBytes = corpus
+          .agg(call_function("graft_bloom_agg", xxhash64(col("k")), lit(1000000L)).as("bf"))
+          .head.getAs[Array[Byte]](0)
+        val candidates = batch.where(
+          call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("k"))))
+        val hits = candidates
+          .join(corpus.groupBy("k").agg(min("doc_id").as("dup_of")), "k")
+          .select(col("doc_id"), col("dup_of"))
+        batch.select("doc_id").join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("dup_of").isNull, "kept").otherwise("dup").as("verdict"),
+            col("dup_of"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH k AS (SELECT doc_id,
+               md5(array_to_string((regexp_extract_all(lower(text), '\S+'))[1:16], ' ')) AS k
+             FROM documents),
+             corpus AS (SELECT k, min(doc_id) AS dup_of
+                        FROM k WHERE doc_id % 5 != 0 GROUP BY 1),
+             b AS (SELECT doc_id, k FROM k WHERE doc_id % 5 = 0)
+             SELECT b.doc_id,
+               CASE WHEN c.dup_of IS NULL THEN 'kept' ELSE 'dup' END AS verdict,
+               CAST(c.dup_of AS BIGINT) AS dup_of
+             FROM b LEFT JOIN corpus c ON b.k = c.k
+             ORDER BY b.doc_id""")),
+
     // ---- The complete near-dup dedup pipeline: MinHash-LSH candidate
     // generation → exact-Jaccard verification (only on candidates — the
     // O(n²) compare never happens) → connected-components clustering by

@@ -160,6 +160,64 @@ class QueryOpsSpec extends SparkSuite {
     assert(rows.filter(_.getString(1) == "kept").forall(_.isNullAt(2)))
   }
 
+  test("q71 bloom-prefiltered dedup: exact verdicts, native probe, no false negatives") {
+    val q = SparkEntry.queries("q71_bloom_dedup")(spark, sf)
+    val rows = q.collect()
+    // Ground truth driver-side: min corpus doc per 16-token-prefix key.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    def key(t: String): String =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).take(16).mkString(" ")
+    val corpusMin = docs.filter(_._1 % 5 != 0).groupBy(p => key(p._2))
+      .view.mapValues(_.map(_._1).min).toMap
+    val expect = docs.filter(_._1 % 5 == 0)
+      .map { case (id, t) => id -> corpusMin.get(key(t)) }.toMap
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val dup = if (r.isNullAt(r.fieldIndex("dup_of"))) None
+        else Some(r.getAs[Long]("dup_of"))
+      // Exactness here doubles as the no-false-negative proof: a bloom
+      // fn would make a true dup read "kept"; a surviving fp would have
+      // been removed by the verify join, never reported.
+      assert(dup == expect(id), s"doc $id: got $dup expected ${expect(id)}")
+      assert(r.getAs[String]("verdict") == (if (dup.isDefined) "dup" else "kept"))
+    }
+    assert(rows.exists(_.getAs[String]("verdict") == "dup"),
+      "corpus should contain cross-split prefix duplicates")
+    // The membership probe is Spark's native bloom expression (codegen),
+    // not a scala UDF.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native bloom probe missing:\n$plan")
+  }
+
+  test("q72 LM cross-entropy matches a driver-side bigram model") {
+    val rows = SparkEntry.queries("q72_lm_perplexity")(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val allBi = docs.flatMap { case (_, ts) =>
+      ts.sliding(2).filter(_.length == 2).map(a => (a(0), a(1)))
+    }
+    val c2 = allBi.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = allBi.groupBy(_._1).view.mapValues(_.length).toMap
+    val v = docs.flatMap(_._2).distinct.length
+    val byId = docs.toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ts = byId(r.getAs[Long]("doc_id"))
+      val lls = ts.sliding(2).filter(_.length == 2)
+        .map(a => math.log((c2((a(0), a(1))) + 1.0) / (c1(a(0)) + v.toDouble)))
+        .toSeq
+      assert(r.getAs[Long]("n_bigrams") == lls.length)
+      val ce = -lls.sum / lls.length
+      assert(math.abs(ce - r.getAs[Double]("cross_entropy")) < 2e-6,
+        s"doc ${r.getAs[Long]("doc_id")}: $ce vs ${r.getAs[Double]("cross_entropy")}")
+    }
+  }
+
   test("q44 JSON repair fixes the deterministic corruptions") {
     val rows = SparkEntry.queries("q44_json_repair")(spark, sf).collect()
       .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r.getLong(2)).toMap
