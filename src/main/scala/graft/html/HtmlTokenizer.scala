@@ -99,8 +99,15 @@ object HtmlTokenizer {
       if (upTo > textStart) out += TextTok(decodeEntities(html.substring(textStart, upTo)))
 
     while (i < n) {
-      val c = html.charAt(i)
-      if (c == '<' && i + 1 < n) {
+      // Jump straight to the next '<' with the intrinsified (vectorized)
+      // String.indexOf instead of walking text char-by-char — text runs
+      // between tags dominate article-like documents, and this scan was
+      // the tokenizer's hottest loop. A trailing '<' with nothing after
+      // it is text, exactly as in the char-walk version.
+      val lt = html.indexOf('<', i)
+      if (lt < 0 || lt + 1 >= n) i = n
+      else {
+        i = lt
         val c1 = html.charAt(i + 1)
         if (c1 == '!') {
           // Comment / doctype / CDATA — skip without emitting.
@@ -191,8 +198,8 @@ object HtmlTokenizer {
             }
           } else i = n
           textStart = i
-        } else { i += 1 }
-      } else i += 1
+        } else { i += 1 } // '<' not opening a construct: plain text
+      }
     }
     flushText(n)
     out

@@ -17,13 +17,19 @@ object PyText {
     * categories Zs/Zl/Zp plus the bidirectional-WS/B/S controls
     * (\t \n \v \f \r \x1c \x1d \x1e \x1f \x85).
     */
+  /** Bitmask of the ASCII Python-whitespace code points — 0x09-0x0d,
+    * 0x1c-0x1f, 0x20 — all of which sit below 64, so one shift+mask
+    * replaces the 4-comparison chain in the innermost loops.
+    */
+  private final val AsciiSpaceBits: Long =
+    (0x1FL << 9) | (0xFL << 28) | (1L << 32)
+
   def isPySpace(cp: Int): Boolean = {
     // ASCII fast path — this predicate is the innermost loop of every
     // normalize/word-count/strip pass, and Character.getType per char
-    // (previously hit even for the plain space!) dominated it. ASCII
-    // Python whitespace is exactly 0x09-0x0d, 0x1c-0x1f, 0x20.
-    if (cp < 0x80)
-      return cp == ' ' || (cp >= 0x09 && cp <= 0x0d) || (cp >= 0x1c && cp <= 0x1f)
+    // (previously hit even for the plain space!) dominated it.
+    if (cp < 64) return ((AsciiSpaceBits >>> cp) & 1L) != 0L
+    if (cp < 0x80) return false
     if (cp == 0x85) return true
     val t = Character.getType(cp)
     t == Character.SPACE_SEPARATOR || t == Character.LINE_SEPARATOR ||
