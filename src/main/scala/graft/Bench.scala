@@ -97,7 +97,12 @@ object Bench {
       new Directory(out).deleteRecursively()
     }
     val t0 = System.nanoTime()
-    ExtractJob.run(s, ExtractJob.Args(input = path, out = outDir, buckets = 64))
+    // slim is the corpus-scale production schema (flat per-doc columns;
+    // the nested per-page structs are lineage-debug detail) — the bench
+    // measures the shape a 100 TB run would write. SPARK_GRAFT_JOB_SLIM=0
+    // measures the fat-record variant.
+    ExtractJob.run(s, ExtractJob.Args(input = path, out = outDir, buckets = 64,
+      slim = !sys.env.get("SPARK_GRAFT_JOB_SLIM").contains("0")))
     (System.nanoTime() - t0) / 1e9
   }
 

@@ -212,9 +212,12 @@ object ExtractJob {
       val recs = if (a.writeShuffle) recs0.repartition(col("bucket")) else recs0
 
       // dynamic overwrite: only this wave's buckets are replaced
+      val tWrite0 = System.nanoTime()
       TableIO.overwritePartitions(recs, a.out, "bucket")
+      val tWrite = (System.nanoTime() - tWrite0) / 1e9
 
       // Lineage metrics from the durably-written data (exact, columnar).
+      val tMet0 = System.nanoTime()
       val metrics = TableIO.read(spark, a.out)
         .where(col("bucket").isin(wave.map(Integer.valueOf): _*))
         .groupBy(col("bucket"))
@@ -224,6 +227,11 @@ object ExtractJob {
           sum(when(col("success"), 0L).otherwise(1L)).as("error_docs"),
           sum(col("word_count").cast("long")).as("words"))
         .collect()
+      // Phase diagnostics (stderr, ops-only): where a wave's wall time
+      // went — the kernel+write job vs the metrics roll-up.
+      System.err.println(
+        f"[extract-job] wave ${wave.head}-${wave.last}: write ${tWrite}%.1f s, " +
+        f"metrics ${(System.nanoTime() - tMet0) / 1e9}%.1f s")
       val now = new java.sql.Timestamp(System.currentTimeMillis())
       val written = metrics.map { r =>
         LineageRow(a.runId, r.getInt(0), "completed", r.getLong(1),
