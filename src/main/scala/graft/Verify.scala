@@ -16,14 +16,31 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // Clean slate: a reused outDir must not keep results of queries that
     // no longer exist (renames would leave stale dirs beside the fresh
-    // ones and misread as live surface).
+    // ones and misread as live surface). But NEVER wipe a directory this
+    // tool didn't write: a mistyped --out pointing at a data directory
+    // must refuse, not destroy. A previous Verify run is recognized by
+    // its marker file; only then (or when empty) is the dir cleaned.
     val outRoot = new java.io.File(outDir)
+    val marker = new java.io.File(outRoot, ".graft_verify")
     if (outRoot.exists()) {
+      val entries = Option(outRoot.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      require(entries.isEmpty || marker.exists(),
+        s"refusing to clean non-empty $outDir: it is not a previous Verify " +
+          "output (no .graft_verify marker). Pick an empty or fresh directory.")
       import scala.reflect.io.Directory
-      new Directory(outRoot).deleteRecursively()
+      entries.foreach(f => new Directory(f).deleteRecursively())
     }
     outRoot.mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    Files.write(marker.toPath, Array.emptyByteArray)
+    // Builder-iteration aid: SPARK_GRAFT_ONLY=q67_inverted_index,q73_…
+    // dumps just those queries (the driver never sets it — full surface).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -45,7 +45,12 @@ object CorpusOps {
         .agg(countDistinct("doc_id").as("df"),
              count(lit(1)).as("tf"),
              min("doc_id").as("first_doc"),
-             slice(array_sort(collect_set(col("doc_id"))), 1, 5).as("postings_head"))
+             // joined to a string, not an array: the driver's checker
+             // row-sorts through pandas, which cannot hash array cells
+             // (round-3 q67 red was exactly that crash, not a mismatch).
+             array_join(
+               transform(slice(array_sort(collect_set(col("doc_id"))), 1, 5),
+                 _.cast("string")), ",").as("postings_head"))
         .orderBy("term"),
       Some("""WITH ex AS (
                SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
@@ -54,7 +59,9 @@ object CorpusOps {
                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
                     CAST(count(*) AS BIGINT) AS tf,
                     CAST(min(doc_id) AS BIGINT) AS first_doc,
-                    (list_sort(list_distinct(list(doc_id))))[1:5] AS postings_head
+                    array_to_string(
+                      list_transform((list_sort(list_distinct(list(doc_id))))[1:5],
+                        x -> CAST(x AS VARCHAR)), ',') AS postings_head
              FROM ex GROUP BY term ORDER BY term""")),
 
     // ---- TF-IDF salient terms per language: tf over the language

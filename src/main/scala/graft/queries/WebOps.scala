@@ -211,8 +211,15 @@ object WebOps {
         tbl(s, d, "documents").select(col("doc_id"), col("text")).as[(Long, String)]
           .mapPartitions { it =>
             val deflater = new java.util.zip.Deflater(6)
+            // Release the native zlib buffers on EVERY task exit path —
+            // a limit/take that abandons the iterator mid-partition, or
+            // a task failure, must not leak off-heap memory until GC.
+            // (An end-of-iterator hook only fires on full drains.)
+            Option(org.apache.spark.TaskContext.get()).foreach(
+              _.addTaskCompletionListener[Unit](_ =>
+                try deflater.end() catch { case _: Throwable => }))
             val buf = new Array[Byte](8192)
-            val out = it.map { case (id, text) =>
+            it.map { case (id, text) =>
               val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
               deflater.reset()
               deflater.setInput(raw); deflater.finish()
@@ -220,17 +227,6 @@ object WebOps {
               while (!deflater.finished()) n += deflater.deflate(buf)
               val ratio = if (raw.length == 0) 1.0 else n.toDouble / raw.length
               (id, raw.length.toLong, n, math.round(ratio * 1e6) / 1e6, ratio < 0.35)
-            }
-            // Release the native zlib buffers when the partition is
-            // exhausted instead of waiting for the Cleaner at some later
-            // GC (many short tasks would pile up off-heap memory).
-            new Iterator[(Long, Long, Long, Double, Boolean)] {
-              def hasNext: Boolean = {
-                val h = out.hasNext
-                if (!h) deflater.end()
-                h
-              }
-              def next(): (Long, Long, Long, Double, Boolean) = out.next()
             }
           }.toDF("doc_id", "raw_bytes", "deflated_bytes", "ratio", "repetitive")
           .orderBy("doc_id")

@@ -448,10 +448,20 @@ object Warc {
     // subdirectories) and LOUD failure on a missing path or a glob
     // matching nothing — a typo'd --input must not complete as a
     // zero-page "success" (the old binaryFile source also threw).
+    // Hidden/underscore names are skipped at EVERY path level (Hadoop's
+    // hiddenFileFilter convention): a recursive listFiles would descend
+    // into `_temporary`/`.staging` and ingest in-progress or aborted
+    // output of a concurrent writer as live WARC input.
+    def isHiddenName(n: String): Boolean = n.startsWith(".") || n.startsWith("_")
     def leafFiles(p: HPath): Seq[HPath] = {
-      val it = fs.listFiles(p, /* recursive = */ true)
       val out = Seq.newBuilder[HPath]
-      while (it.hasNext) out += it.next().getPath
+      def walk(dir: HPath): Unit =
+        fs.listStatus(dir).foreach { st =>
+          if (!isHiddenName(st.getPath.getName)) {
+            if (st.isDirectory) walk(st.getPath) else out += st.getPath
+          }
+        }
+      walk(p)
       out.result()
     }
     val roots =

@@ -297,15 +297,20 @@ object StreamingExtract {
       val path = new org.apache.hadoop.fs.Path(sigDir)
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-        // Exclude THIS batch's partition: a foreachBatch retry runs
-        // after the failed attempt may already have written its
-        // signatures, and judging a batch against its own sketches
-        // would drop every document as a dup of itself (partition
-        // pruning makes the exclusion free). Then project the
-        // batch_id partition-discovery column away — the store is one
-        // logical sketch table.
+        // Keep only PRIOR batches' partitions (batch_id < batchId):
+        //  - a foreachBatch retry may run after the failed attempt
+        //    already wrote this batch's signatures — judging a batch
+        //    against its own sketches would drop every document as a
+        //    dup of itself;
+        //  - a backfill REPLAY of an older batchId after later batches
+        //    committed must see exactly the store that batch saw
+        //    originally, or the replay changes that partition's output
+        //    (batch ids are monotone, so "<" is precisely "what existed
+        //    when this batch first ran"). Partition pruning makes the
+        //    filter free. Then project the batch_id partition-discovery
+        //    column away — the store is one logical sketch table.
         Some(s.read.parquet(sigDir)
-          .where(col("batch_id") =!= batchId)
+          .where(col("batch_id") < batchId)
           .select("doc_id", "hsh", "bands"))
       else None
     }

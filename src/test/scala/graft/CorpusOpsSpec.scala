@@ -17,7 +17,12 @@ class CorpusOpsSpec extends SparkSuite {
     rows.foreach { r =>
       val df = r.getAs[Long]("df")
       val tf = r.getAs[Long]("tf")
-      val head = r.getAs[scala.collection.Seq[Long]]("postings_head")
+      // postings_head is a comma-joined string (not an array): the
+      // driver's pandas-based checker cannot hash array cells.
+      val head = r.getAs[String]("postings_head") match {
+        case "" => Seq.empty[Long]
+        case s2 => s2.split(",").toSeq.map(_.toLong)
+      }
       assert(tf >= df, "every distinct doc contributes at least one occurrence")
       assert(head.size == math.min(df, 5L))
       assert(head == head.sorted)
