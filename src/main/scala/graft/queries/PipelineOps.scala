@@ -327,53 +327,190 @@ object PipelineOps {
              SELECT CAST(count(*) AS BIGINT) AS shared_fingerprints,
                     CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS doc_memberships FROM g""")),
 
-    // ---- Extraction-quality eval (reference eval framework A9:
-    // CER/WER/Jaccard corpus roll-up). Ref = accurate extraction,
-    // hyp = fast (direct-only) — quantifies what the OCR/boilerplate
-    // path adds per document class.
-    ("x49_eval_quality",
-      (s, _) => {
+    // ---- Extraction-quality eval metrics (reference eval framework A9:
+    // CER/WER/Jaccard), ORACLE-CHECKED: hypothesis texts are PLANTED
+    // from doc_id (identical / char-dropped / case-folded /
+    // word-reversed — each stressing a different metric) so DuckDB can
+    // recompute every metric independently: CER via byte-levenshtein
+    // (the corpus is pure ASCII, so bytes == chars), WER via word-level
+    // levenshtein — each per-row word mapped to a single ASCII char
+    // (vocab ≤ ~62 « the 94 printable slots) so the char edit distance
+    // IS the word edit distance — and Jaccard via list set-ops. A green
+    // hash pins TextEval's DP and the empty-input conventions
+    // cross-engine. (The two-quality kernel eval roll-up this replaces
+    // stays covered by TextEvalSpec + the x40/x42 kernel queries.)
+    ("q49_eval_quality",
+      (s, d) => {
         import s.implicits._
-        pages(s, 800).mapPartitions { it =>
-          val proc = Processor.default
-          it.map { p =>
-            val ref = proc.extract(p, "accurate")
-            val hyp = proc.extract(p, "fast")
-            (ref.pdf_type,
-              graft.text.TextEval.cer(ref.text, hyp.text),
-              graft.text.TextEval.wer(ref.text, hyp.text),
-              graft.text.TextEval.jaccardWords(ref.text, hyp.text))
-          }
-        }.toDF("pdf_type", "cer", "wer", "jaccard")
-          .groupBy("pdf_type")
-          .agg(count(lit(1)).as("n_docs"),
-               round(avg("cer"), 6).as("avg_cer"),
-               round(avg("wer"), 6).as("avg_wer"),
-               round(avg("jaccard"), 6).as("avg_jaccard"))
-          .orderBy("pdf_type")
-      }, None),
+        QueryUtil.tbl(s, d, "documents")
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .map { case (id, ref) =>
+            val (variant, hyp) = (id % 4).toInt match {
+              case 0 => ("identical", ref)
+              case 1 => ("char_dropped", ref.replace("e", ""))
+              case 2 => ("case_folded", ref.toUpperCase(java.util.Locale.ROOT))
+              case _ => ("word_reversed",
+                graft.text.PyText.pySplit(ref).reverse.mkString(" "))
+            }
+            (id, variant,
+              graft.text.TextEval.cer(ref, hyp),
+              graft.text.TextEval.wer(ref, hyp),
+              graft.text.TextEval.jaccardWords(ref, hyp))
+          }.toDF("doc_id", "variant", "cer", "wer", "jaccard")
+          .select(col("doc_id"), col("variant"),
+            round(col("cer"), 6).as("cer"),
+            round(col("wer"), 6).as("wer"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+               SELECT doc_id, text AS ref,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN 'identical' WHEN 1 THEN 'char_dropped'
+                   WHEN 2 THEN 'case_folded' ELSE 'word_reversed' END AS variant,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN text
+                   WHEN 1 THEN replace(text, 'e', '')
+                   WHEN 2 THEN upper(text)
+                   ELSE array_to_string(list_reverse(regexp_extract_all(text, '\S+')), ' ')
+                 END AS hyp
+               FROM documents),
+             w AS (SELECT *,
+                 regexp_extract_all(ref, '\S+') AS rw,
+                 regexp_extract_all(hyp, '\S+') AS hw,
+                 list_distinct(regexp_extract_all(lower(ref), '\S+')) AS sa,
+                 list_distinct(regexp_extract_all(lower(hyp), '\S+')) AS sb
+               FROM h),
+             v AS (SELECT *, list_distinct(rw || hw) AS vocab FROM w),
+             m AS (SELECT *,
+                 array_to_string([chr(32 + CAST(list_position(vocab, x) AS INT)) FOR x IN rw], '') AS rs,
+                 array_to_string([chr(32 + CAST(list_position(vocab, x) AS INT)) FOR x IN hw], '') AS hs
+               FROM v)
+             SELECT doc_id, variant,
+               round(CASE WHEN len(ref) = 0 THEN CASE WHEN len(hyp) = 0 THEN 0.0 ELSE 1.0 END
+                     ELSE CAST(levenshtein(ref, hyp) AS DOUBLE) / len(ref) END, 6) AS cer,
+               round(CASE WHEN len(rw) = 0 THEN CASE WHEN len(hw) = 0 THEN 0.0 ELSE 1.0 END
+                     ELSE CAST(levenshtein(rs, hs) AS DOUBLE) / len(rw) END, 6) AS wer,
+               round(CASE WHEN len(sa) = 0 AND len(sb) = 0 THEN 1.0
+                     ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+                          / len(list_distinct(sa || sb)) END, 6) AS jaccard
+             FROM m ORDER BY doc_id""")),
 
-    // ---- Explicit routing plan (router.py:119-171 surface): the
-    // standalone ContentRouter decision — strategy, page split, cost/
-    // time model, human-readable reasoning (W4 truncation rules) — as a
-    // query over the page table. The processor encodes the same matrix
-    // in-kernel; this exposes it for cost accounting at corpus scale.
-    ("x48_routing_plan",
-      (s, _) => {
+    // ---- Explicit routing plan (router.py:119-171 surface), ORACLE-
+    // CHECKED: the standalone ContentRouter decision — strategy matrix
+    // (router.py:212-245), page selection (:247-283), cost/time model
+    // (:91-93,173-197), invalid-quality normalization (:134-136),
+    // no-OCR-backend forcing (:142-143), and the full human-readable
+    // reasoning string (:285-329, pyList ≤5 / count >5 branches) — over
+    // classifications PLANTED deterministically from doc_id (the q44/
+    // q54 pattern) so DuckDB can re-derive every decision as pure
+    // CASE-WHEN + list comprehensions. A green hash proves the Scala
+    // Router equals the published matrix on quality×type×backend×
+    // page-mix combinations, including the reasoning text byte-for-byte.
+    // (The kernel applies the same Router in-stream; its end-to-end
+    // behavior stays pinned by RouterSpec/ProcessorSpec goldens.)
+    ("q48_routing_plan",
+      (s, d) => {
         import s.implicits._
-        pages(s, 1500).map { p =>
-          val parsed = graft.extract.DocParser.parse(p.html)
-          val cls = parsed.fold(
-            _ => graft.classify.Detector.default.classify(graft.model.ParsedDoc(Vector.empty)),
-            d => graft.classify.Detector.default.classify(d))
-          val r = new graft.route.Router().route(cls, "balanced")
-          (p.url, r.pdf_type, r.strategy, r.quality, r.total_pages,
-            r.direct_pages.length, r.ocr_pages.length,
-            r.estimated_cost, r.estimated_time_seconds, r.reasoning)
-        }.toDF("url", "pdf_type", "strategy", "quality", "total_pages",
-            "n_direct", "n_ocr", "est_cost", "est_time_s", "reasoning")
-          .orderBy("url")
-      }, None),
+        QueryUtil.tbl(s, d, "documents").select(col("doc_id")).as[Long].map { id =>
+          val qualityIn = (id % 4).toInt match {
+            case 0 => "fast"
+            case 1 => "balanced"
+            case 2 => "accurate"
+            case _ => "draft" // invalid on purpose → normalizes to balanced
+          }
+          val pdfType = ((id / 4) % 4).toInt match {
+            case 0 => graft.model.Enums.PureText
+            case 1 => graft.model.Enums.PureImage
+            case 2 => graft.model.Enums.Hybrid
+            case _ => graft.model.Enums.Unknown
+          }
+          val totalPages = (id % 7).toInt + 1
+          val all = (1 to totalPages).toVector
+          val cls = graft.model.Classification(
+            pdf_type = pdfType,
+            total_pages = totalPages,
+            text_pages = all.filter(p => (id + p) % 3 == 0),
+            image_pages = all.filter(p => (id + p) % 3 == 1),
+            hybrid_pages = all.filter(p => (id + p) % 3 == 2),
+            total_text_blocks = 0, total_image_blocks = 0,
+            page_analyses = Seq.empty, confidence = 1.0)
+          val hasOcr = id % 5 != 0
+          val r = new graft.route.Router(hasOcrBackend = hasOcr).route(cls, qualityIn)
+          (id, r.pdf_type, qualityIn, r.quality, hasOcr, r.strategy,
+            r.total_pages, r.direct_pages.length, r.ocr_pages.length,
+            r.direct_pages.mkString(","), r.ocr_pages.mkString(","),
+            math.round(r.estimated_cost * 1e6) / 1e6,
+            math.round(r.estimated_time_seconds * 1e6) / 1e6,
+            r.reasoning)
+        }.toDF("doc_id", "pdf_type", "quality_in", "quality", "has_ocr", "strategy",
+            "total_pages", "n_direct", "n_ocr", "direct_pages", "ocr_pages",
+            "est_cost", "est_time_s", "reasoning")
+          .orderBy("doc_id")
+      },
+      Some("""WITH base AS (
+               SELECT doc_id,
+                 CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'fast' WHEN 1 THEN 'balanced'
+                      WHEN 2 THEN 'accurate' ELSE 'draft' END AS quality_in,
+                 CASE CAST((doc_id // 4) % 4 AS INT) WHEN 0 THEN 'pure_text'
+                      WHEN 1 THEN 'pure_image' WHEN 2 THEN 'hybrid'
+                      ELSE 'unknown' END AS pdf_type,
+                 CAST(doc_id % 7 AS INT) + 1 AS total_pages,
+                 (doc_id % 5 <> 0) AS has_ocr
+               FROM documents),
+             q AS (SELECT *,
+                 CASE WHEN quality_in IN ('fast','balanced','accurate')
+                      THEN quality_in ELSE 'balanced' END AS quality
+               FROM base),
+             st AS (SELECT *,
+                 CASE WHEN NOT has_ocr THEN 'direct_only'
+                      WHEN quality = 'fast' THEN 'direct_only'
+                      WHEN pdf_type = 'pure_text' THEN 'direct_only'
+                      WHEN pdf_type = 'pure_image' THEN 'ocr_all'
+                      WHEN pdf_type = 'hybrid' THEN 'ocr_selective'
+                      ELSE 'direct_only' END AS strategy
+               FROM q),
+             sel AS (SELECT *,
+                 CASE strategy
+                   WHEN 'direct_only' THEN range(1, total_pages + 1)
+                   WHEN 'ocr_all' THEN []
+                   ELSE list_sort(
+                     [p FOR p IN range(1, total_pages + 1) IF (doc_id + p) % 3 = 0] ||
+                     CASE WHEN quality = 'accurate' THEN []
+                          ELSE [p FOR p IN range(1, total_pages + 1) IF (doc_id + p) % 3 = 2] END)
+                 END AS dl,
+                 CASE strategy
+                   WHEN 'direct_only' THEN []
+                   WHEN 'ocr_all' THEN range(1, total_pages + 1)
+                   ELSE list_sort(
+                     [p FOR p IN range(1, total_pages + 1) IF (doc_id + p) % 3 = 1] ||
+                     CASE WHEN quality = 'accurate'
+                          THEN [p FOR p IN range(1, total_pages + 1) IF (doc_id + p) % 3 = 2]
+                          ELSE [] END)
+                 END AS ol
+               FROM st),
+             n AS (SELECT *, CAST(len(dl) AS INT) AS n_direct, CAST(len(ol) AS INT) AS n_ocr FROM sel)
+             SELECT doc_id, pdf_type, quality_in, quality, has_ocr, strategy,
+                    total_pages, n_direct, n_ocr,
+                    -- array_to_string is NULL (not '') on empty lists
+                    coalesce(array_to_string(dl, ','), '') AS direct_pages,
+                    coalesce(array_to_string(ol, ','), '') AS ocr_pages,
+                    round(n_ocr * 0.005, 6) AS est_cost,
+                    round(n_ocr * 3.0 + n_direct * 0.1, 6) AS est_time_s,
+                    'PDF type: ' || pdf_type || ' | Quality: ' || quality ||
+                    ' | Strategy: ' || strategy ||
+                    CASE WHEN n_direct > 0 THEN ' | ' ||
+                      CASE WHEN n_direct <= 5
+                           THEN 'Direct extraction: pages [' || array_to_string(dl, ', ') || ']'
+                           ELSE 'Direct extraction: ' || n_direct || ' pages' END
+                      ELSE '' END ||
+                    CASE WHEN n_ocr > 0 THEN ' | ' ||
+                      CASE WHEN n_ocr <= 5
+                           THEN 'OCR extraction: pages [' || array_to_string(ol, ', ') || ']'
+                           ELSE 'OCR extraction: ' || n_ocr || ' pages' END
+                      ELSE '' END ||
+                    CASE WHEN n_ocr = 0 THEN ' | No OCR required' ELSE '' END AS reasoning
+             FROM n ORDER BY doc_id""")),
 
     // ---- Skew-safe per-key exact-distinct statistics (SURVEY §7.5 risk
     // 4): at 10^12 rows a hot key (PageGen's Zipf host0 is ≈7% of the

@@ -496,6 +496,86 @@ object TextOps {
              SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
              FROM bits GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- SimHash Hamming-ball near-dup JOIN (consumes q25's
+    // fingerprints — the third dedup family closed end-to-end next to
+    // MinHash-LSH q24 and exact q22): find all pairs within Hamming
+    // distance ≤ 1 by splitting the 32-bit signature into 2 exact-match
+    // bands of 16 bits. Pigeonhole: ≤1 differing bit can dirty at most
+    // one band, so every qualifying pair shares a band — the bucketed
+    // self-join is COMPLETE, not approximate; candidates are then
+    // verified with bit_count(xor). Radius 1 because this corpus
+    // saturates 32-bit simhash (~31 distinct words/doc over a shared
+    // vocabulary → thousands of identical signatures); a production
+    // crawl uses 64-bit simhash and radius 3 with 4 bands — same plan
+    // shape. Scale: the only shuffles carry (band_id, 16-bit band value,
+    // doc_id, 32-bit sig); buckets are band-local so no all-pairs work;
+    // output is the per-doc neighbor roll-up (count/min/max pins the
+    // pair set through three independent aggregates).
+    ("q73_simhash_hamming",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        val sig = docToks(s, d)
+          .withColumn("sig",
+            call_function("simhash_md5", array_distinct(col("toks"))))
+          .withColumn("sigv", conv(col("sig"), 2, 10).cast("long"))
+          .select("doc_id", "sig", "sigv")
+        val bands = sig.select(col("doc_id"), col("sigv"), explode(array(
+            struct(lit(0).as("band_id"), substring(col("sig"), 1, 16).as("band_val")),
+            struct(lit(1).as("band_id"), substring(col("sig"), 17, 16).as("band_val"))
+          )).as("b"))
+          .select(col("doc_id"), col("sigv"), col("b.band_id"), col("b.band_val"))
+        val a = bands.toDF("doc_a", "sig_a", "band_id", "band_val")
+        val b = bands.toDF("doc_b", "sig_b", "band_id", "band_val")
+        val pairs = a.join(b, Seq("band_id", "band_val"))
+          .where(col("doc_a") > col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("ham"))
+          .where(col("ham") <= 1)
+          .distinct() // a pair may agree on both bands
+        val edges = pairs.select(col("doc_a").as("doc_id"), col("doc_b").as("nb"))
+          .union(pairs.select(col("doc_b").as("doc_id"), col("doc_a").as("nb")))
+        val stats = edges.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_neighbors"),
+               min("nb").as("min_nb"), max("nb").as("max_nb"))
+        QueryUtil.tbl(s, d, "documents").select("doc_id")
+          .join(stats, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+            coalesce(col("min_nb"), lit(-1L)).as("min_nb"),
+            coalesce(col("max_nb"), lit(-1L)).as("max_nb"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS tok
+                           FROM documents),
+             bits AS (SELECT doc_id, j.j,
+                        CASE WHEN sum(CASE WHEN ascii(substr(md5(tok), j.j, 1)) % 2 = 1
+                                           THEN 1 ELSE -1 END) > 0
+                             THEN '1' ELSE '0' END AS bit
+                      FROM tok CROSS JOIN (SELECT unnest(range(1,33)) AS j) j
+                      GROUP BY doc_id, j.j),
+             sig AS (SELECT doc_id, string_agg(bit, '' ORDER BY j) AS s
+                     FROM bits GROUP BY doc_id),
+             bd AS (SELECT doc_id, s, 0 AS band_id, substr(s, 1, 16) AS band_val FROM sig
+                    UNION ALL
+                    SELECT doc_id, s, 1, substr(s, 17, 16) FROM sig),
+             pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, x.s AS sa, y.s AS sb
+                       FROM bd x JOIN bd y
+                         ON x.band_id = y.band_id AND x.band_val = y.band_val
+                        AND x.doc_id > y.doc_id),
+             p AS (SELECT doc_a, doc_b FROM pairs
+                   WHERE len([i FOR i IN range(1,33)
+                              IF substr(sa, CAST(i AS INT), 1) <> substr(sb, CAST(i AS INT), 1)]) <= 1),
+             e AS (SELECT doc_a AS doc_id, doc_b AS nb FROM p
+                   UNION ALL SELECT doc_b, doc_a FROM p),
+             st AS (SELECT doc_id, count(*) AS n, min(nb) AS mn, max(nb) AS mx
+                    FROM e GROUP BY doc_id)
+             SELECT d.doc_id,
+                    CAST(coalesce(st.n, 0) AS BIGINT) AS n_neighbors,
+                    CAST(coalesce(st.mn, -1) AS BIGINT) AS min_nb,
+                    CAST(coalesce(st.mx, -1) AS BIGINT) AS max_nb
+             FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+             ORDER BY d.doc_id""")),
+
     // ---- Language ID: stopword-hit scoring with a fixed argmax order
     // (n-gram-heuristic family; deterministic on both engines).
     ("q26_lang_id",

@@ -81,6 +81,35 @@ class QueryOpsSpec extends SparkSuite {
     }
   }
 
+  test("q73 Hamming-ball join equals brute force and never goes all-pairs") {
+    // Completeness + soundness: the banded join's per-doc neighbor
+    // roll-up must equal the brute-force Hamming-≤1 neighborhood over
+    // the collected q25 signatures (pigeonhole guarantees completeness
+    // at radius 1 with 2 bands — verify it holds in practice).
+    val sig = SparkEntry.queries("q25_simhash")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val brute = (for {
+      (a, sa) <- sig; (b, sb) <- sig
+      if a != b && sa.zip(sb).count { case (x, y) => x != y } <= 1
+    } yield (a, b)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val df = SparkEntry.queries("q73_simhash_hamming")(spark, sf)
+    val rows = df.collect()
+    assert(rows.exists(_.getAs[Long]("n_neighbors") > 0),
+      "near-dup corpus must produce Hamming-≤1 neighbors")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val nbs = brute.getOrElse(id, Array.empty[Long])
+      assert(r.getAs[Long]("n_neighbors") == nbs.length, s"doc $id count")
+      assert(r.getAs[Long]("min_nb") == (if (nbs.isEmpty) -1L else nbs.min), s"doc $id min")
+      assert(r.getAs[Long]("max_nb") == (if (nbs.isEmpty) -1L else nbs.max), s"doc $id max")
+    }
+    // Plan shape: the self-join must be a shuffled/broadcast equi-join
+    // on the band key, never a cartesian product.
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in q73 plan:\n$plan")
+  }
+
   test("q29 cosine top-k: self-similar clusters rank first on a known vector") {
     import spark.implicits._
     // Synthetic check independent of testdata: nearest neighbor of

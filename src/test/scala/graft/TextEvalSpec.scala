@@ -27,15 +27,47 @@ class TextEvalSpec extends AnyFunSuite {
     assert(TextEval.jaccardWords("", "") == 1.0)
   }
 
-  test("x49 eval: identical texts → zero error on pure_text docs") {
+  test("kernel eval: fast == accurate on pure_text docs, differs on image docs") {
     // fast and accurate agree wherever no OCR page exists (pure_text),
-    // so the pure_text row must show cer=wer=0, jaccard=1.
+    // so that class must eval to cer=wer=0, jaccard=1 (the reference A9
+    // roll-up; formerly the x49 driver query, now pinned here directly).
+    val proc = graft.extract.Processor.default
+    val rows = graft.synth.PageGen.generate(SparkSuite.shared, 400)
+      .collect().map { p =>
+        val ref = proc.extract(p, "accurate")
+        val hyp = proc.extract(p, "fast")
+        ref.pdf_type -> (TextEval.cer(ref.text, hyp.text),
+          TextEval.wer(ref.text, hyp.text),
+          TextEval.jaccardWords(ref.text, hyp.text))
+      }
+    val pureText = rows.filter(_._1 == "pure_text").map(_._2)
+    assert(pureText.nonEmpty)
+    assert(pureText.forall { case (c, w, j) => c == 0.0 && w == 0.0 && j == 1.0 })
+    // image docs must differ (the OCR path adds text).
+    val img = rows.filter(_._1 == "pure_image").map(_._2)
+    assert(img.nonEmpty && img.exists(_._1 > 0.0))
+  }
+
+  test("q49 eval query: per-variant metric invariants") {
     val spark = SparkSuite.shared
-    val rows = SparkEntry.queries("x49_eval_quality")(spark, "/root/testdata/sf0.001")
-      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
-    val (cer, wer, jac) = rows("pure_text")
-    assert(cer == 0.0 && wer == 0.0 && jac == 1.0, s"pure_text: $cer $wer $jac")
-    // image/hybrid docs must differ (the OCR path adds text).
-    assert(rows.contains("pure_image") && rows("pure_image")._1 > 0.0)
+    val rows = SparkEntry.queries("q49_eval_quality")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[String]("variant"), r.getAs[Double]("cer"),
+        r.getAs[Double]("wer"), r.getAs[Double]("jaccard")))
+    assert(rows.nonEmpty)
+    val byVariant = rows.groupBy(_._1)
+    assert(byVariant.keySet ==
+      Set("identical", "char_dropped", "case_folded", "word_reversed"))
+    // identical: all three metrics trivial.
+    assert(byVariant("identical").forall { case (_, c, w, j) => c == 0.0 && w == 0.0 && j == 1.0 })
+    // char_dropped: dropping 'e' must cost character edits somewhere.
+    assert(byVariant("char_dropped").exists(_._2 > 0.0))
+    // case_folded: word SETS are case-insensitive → jaccard exactly 1;
+    // cased words differ char-wise → cer > 0 somewhere.
+    assert(byVariant("case_folded").forall(_._4 == 1.0))
+    assert(byVariant("case_folded").exists(_._2 > 0.0))
+    // word_reversed: same word multiset → jaccard exactly 1; order
+    // changes → wer > 0 somewhere.
+    assert(byVariant("word_reversed").forall(_._4 == 1.0))
+    assert(byVariant("word_reversed").exists(_._3 > 0.0))
   }
 }
