@@ -488,8 +488,6 @@ object PdfParser {
     if (!name("Filter").contains("Standard"))
       return Left(s"encrypted PDF: unsupported handler ${name("Filter").getOrElse("?")}")
     val v = int("V", 0); val r = int("R", 0)
-    if (v > 2 || r > 3)
-      return Left(s"encrypted PDF: unsupported V=$v R=$r (AES crypt filters)")
     def strBytes(x: PVal): Array[Byte] = x match {
       case PStr(sv) => sv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
       case _ => Array.emptyByteArray
@@ -499,28 +497,73 @@ object PdfParser {
     val p = enc.v.get("P").collect { case PNum(n) => n.toInt }.getOrElse(-1)
     val id = trailer.v.get("ID").collect { case PArr(items) if items.nonEmpty => strBytes(items.head) }
       .getOrElse(Array.emptyByteArray)
-    if (o.length < 32 || u.length < 16) return Left("encrypted PDF: malformed O/U entries")
-    val key = PdfCrypt.tryEmptyUserPassword(o, u, p, id, r, int("Length", 40))
-      .getOrElse(return Left("encrypted PDF: password required"))
+    val encMeta = enc.v.get("EncryptMetadata") match {
+      case Some(PBool(b)) => b
+      case _ => true
+    }
+    // Crypt-filter method for V ≥ 4 (§7.6.5): /StmF and /StrF name a
+    // filter in /CF whose /CFM is V2 (RC4), AESV2, or AESV3; the
+    // "Identity" name means pass-through. V ≤ 2 is whole-file RC4.
+    def cfmOf(which: String): String = {
+      val fname = name(which).getOrElse("Identity")
+      if (fname == "Identity") "Identity"
+      else enc.v.get("CF") match {
+        case Some(PDict(cf)) => cf.get(fname) match {
+          case Some(PDict(f)) => f.get("CFM") match {
+            case Some(PName(m)) => m
+            case _ => "None"
+          }
+          case _ => "None"
+        }
+        case _ => "None"
+      }
+    }
+    val (stmCfm, strCfm) =
+      if (v <= 2) ("V2", "V2") else (cfmOf("StmF"), cfmOf("StrF"))
+    val supported = Set("V2", "AESV2", "AESV3", "Identity")
+    if (v != 1 && v != 2 && v != 4 && v != 5)
+      return Left(s"encrypted PDF: unsupported V=$v R=$r")
+    if (!supported(stmCfm) || !supported(strCfm))
+      return Left(s"encrypted PDF: unsupported crypt filter $stmCfm/$strCfm")
 
-    def decStr(bytes: Array[Byte], k: Array[Byte]): String =
-      new String(PdfCrypt.rc4(k, bytes), java.nio.charset.StandardCharsets.ISO_8859_1)
-    def decVal(x: PVal, k: Array[Byte]): PVal = x match {
-      case PStr(sv) => PStr(decStr(sv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1), k))
-      case PArr(items) => PArr(items.map(decVal(_, k)))
-      case PDict(m) => PDict(m.map { case (kk, vv) => kk -> decVal(vv, k) })
+    val key: Array[Byte] =
+      if (v == 5) {
+        val ue = enc.v.get("UE").map(strBytes).getOrElse(Array.emptyByteArray)
+        if (u.length < 48 || ue.length < 32)
+          return Left("encrypted PDF: malformed U/UE entries")
+        PdfCrypt.tryEmptyUserPasswordV5(u, ue, r)
+          .getOrElse(return Left("encrypted PDF: password required"))
+      } else {
+        if (o.length < 32 || u.length < 16)
+          return Left("encrypted PDF: malformed O/U entries")
+        val bits = int("Length", if (v >= 4) 128 else 40)
+        PdfCrypt.tryEmptyUserPassword(o, u, p, id, r, bits, encMeta)
+          .getOrElse(return Left("encrypted PDF: password required"))
+      }
+
+    // Per-object decrypt: AESV3 uses the file key directly; AESV2 and
+    // RC4 derive per-object keys (with/without the sAlT suffix).
+    def decBytes(cfm: String, num: Int, bytes: Array[Byte]): Array[Byte] = cfm match {
+      case "Identity" => bytes
+      case "V2" => PdfCrypt.rc4(PdfCrypt.objKey(key, num, 0), bytes)
+      case "AESV2" => PdfCrypt.aesDecrypt(PdfCrypt.objKeyAes(key, num, 0), bytes)
+      case _ => PdfCrypt.aesDecrypt(key, bytes) // AESV3
+    }
+    def decVal(x: PVal, num: Int): PVal = x match {
+      case PStr(sv) => PStr(new String(
+        decBytes(strCfm, num, sv.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)),
+        java.nio.charset.StandardCharsets.ISO_8859_1))
+      case PArr(items) => PArr(items.map(decVal(_, num)))
+      case PDict(m) => PDict(m.map { case (kk, vv) => kk -> decVal(vv, num) })
       case other => other
     }
     Right(objs.map { case (num, obj) =>
       val isEncryptObj = encNum.contains(num)
       val isXref = obj.dict.v.get("Type").contains(PName("XRef"))
       if (isEncryptObj || isXref) num -> obj
-      else {
-        val k = PdfCrypt.objKey(key, num, 0)
-        num -> PObj(
-          decVal(obj.dict, k).asInstanceOf[PDict],
-          obj.stream.map(PdfCrypt.rc4(k, _)))
-      }
+      else num -> PObj(
+        decVal(obj.dict, num).asInstanceOf[PDict],
+        obj.stream.map(decBytes(stmCfm, num, _)))
     })
   }
 

@@ -158,21 +158,81 @@ object PdfWriter {
 
   /** Re-emit a `build()` PDF encrypted with the RC4 standard handler
     * (R=3, V=2, 128-bit, EMPTY user password — the restrict-printing
-    * crawl case PdfCrypt decrypts). Streams are RC4'd in place (length
-    * preserved, /Length stays valid); literal strings re-emit as hex
-    * strings (ciphertext can contain unbalanced parens); the xref table
-    * is rebuilt for the shifted offsets and the trailer gains
-    * /Encrypt + /ID. Only classic `build()` layouts are supported.
+    * crawl case PdfCrypt decrypts).
     */
-  def encryptRc4(clear: Array[Byte]): Array[Byte] = {
+  def encryptRc4(clear: Array[Byte]): Array[Byte] = encryptStandard(clear, "rc4")
+
+  /** Re-emit a `build()` PDF encrypted with the standard security
+    * handler and an EMPTY user password. `variant`:
+    *  - "rc4"      V=2 R=3, 128-bit RC4 (streams keep their length);
+    *  - "aesv2"    V=4 R=4, AES-128-CBC via the /StdCF AESV2 filter;
+    *  - "aesv3-r5" V=5 R=5, AES-256 (the deprecated Adobe extension);
+    *  - "aesv3-r6" V=5 R=6, AES-256 with the Algorithm 2.B hash
+    *    (PDF 2.0).
+    * AES re-encryption changes stream lengths (16-byte IV + PKCS#7
+    * pad), so each head dict's /Length is rewritten; literal strings
+    * re-emit as hex strings (ciphertext can contain unbalanced parens);
+    * the xref table is rebuilt for the shifted offsets and the trailer
+    * gains /Encrypt + /ID. IVs derive deterministically from the file
+    * digest and a counter, so fixtures are byte-stable. Only classic
+    * `build()` layouts are supported.
+    */
+  def encryptStandard(clear: Array[Byte], variant: String): Array[Byte] = {
     val s = new String(clear, java.nio.charset.StandardCharsets.ISO_8859_1)
     val empty = Array.emptyByteArray
     val id16 = java.security.MessageDigest.getInstance("MD5").digest(clear)
     val perm = -44
-    val o = PdfCrypt.computeO(empty, empty, 3, 128)
-    val key = PdfCrypt.fileKey(empty, o, perm, id16, 3, 128)
-    val u = PdfCrypt.computeU(key, id16, 3)
     def hexStr(b: Array[Byte]): String = "<" + b.map(x => f"$x%02x").mkString + ">"
+    def md5of(parts: Array[Byte]*): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      parts.foreach(md.update)
+      md.digest()
+    }
+    val (key: Array[Byte], encDictBody: String) = variant match {
+      case "rc4" =>
+        val o = PdfCrypt.computeO(empty, empty, 3, 128)
+        val k = PdfCrypt.fileKey(empty, o, perm, id16, 3, 128)
+        val u = PdfCrypt.computeU(k, id16, 3)
+        (k, s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $perm " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} >>")
+      case "aesv2" =>
+        val o = PdfCrypt.computeO(empty, empty, 4, 128)
+        val k = PdfCrypt.fileKey(empty, o, perm, id16, 4, 128)
+        val u = PdfCrypt.computeU(k, id16, 4)
+        (k, s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $perm " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} " +
+          "/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>")
+      case "aesv3-r5" | "aesv3-r6" =>
+        val r = if (variant.endsWith("5")) 5 else 6
+        val k = java.security.MessageDigest.getInstance("SHA-256")
+          .digest(id16 ++ "filekey".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        val vSalt = md5of(id16, Array(1.toByte)).take(8)
+        val kSalt = md5of(id16, Array(2.toByte)).take(8)
+        val ovSalt = md5of(id16, Array(3.toByte)).take(8)
+        val okSalt = md5of(id16, Array(4.toByte)).take(8)
+        val (u, ue) = PdfCrypt.computeUV5(r, k, vSalt, kSalt)
+        val (o, oe) = PdfCrypt.computeOV5(r, k, u, ovSalt, okSalt)
+        val perms = PdfCrypt.permsV5(perm, encryptMetadata = true, k)
+        (k, s"<< /Filter /Standard /V 5 /R $r /Length 256 /P $perm " +
+          s"/O ${hexStr(o)} /U ${hexStr(u)} /OE ${hexStr(oe)} /UE ${hexStr(ue)} " +
+          s"/Perms ${hexStr(perms)} " +
+          "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF >>")
+      case other => throw new IllegalArgumentException(s"unknown variant: $other")
+    }
+    // Deterministic per-call IVs (fixture byte-stability; uniqueness,
+    // not secrecy, is what CBC needs here).
+    var ivCtr = 0
+    def nextIv(): Array[Byte] = {
+      ivCtr += 1
+      md5of(id16, Array[Byte]((ivCtr >> 8).toByte, ivCtr.toByte))
+    }
+    def encBytes(num: Int, b: Array[Byte]): Array[Byte] = variant match {
+      case "rc4" => PdfCrypt.rc4(PdfCrypt.objKey(key, num, 0), b)
+      case "aesv2" => PdfCrypt.aesEncrypt(PdfCrypt.objKeyAes(key, num, 0), nextIv(), b)
+      case _ => PdfCrypt.aesEncrypt(key, nextIv(), b)
+    }
 
     def unescape(lit: String): String = {
       val sb = new java.lang.StringBuilder(lit.length)
@@ -190,7 +250,7 @@ object PdfWriter {
       sb.toString
     }
     // Encrypt every literal string in a dict region, re-emitting as hex.
-    def encStrings(region: String, k: Array[Byte]): String = {
+    def encStrings(region: String, num: Int): String = {
       val sb = new java.lang.StringBuilder(region.length + 32)
       var i = 0
       while (i < region.length) {
@@ -206,7 +266,7 @@ object PdfWriter {
           }
           val raw = unescape(region.substring(i + 1, j))
           val bytes = raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
-          sb.append(hexStr(PdfCrypt.rc4(k, bytes)))
+          sb.append(hexStr(encBytes(num, bytes)))
           i = j + 1
         } else { sb.append(c); i += 1 }
       }
@@ -224,7 +284,6 @@ object PdfWriter {
       val num = m.group(1).toInt
       maxNum = math.max(maxNum, num)
       val bodyStart = m.end()
-      val k = PdfCrypt.objKey(key, num, 0)
       val out = new ByteArrayOutputStream(256)
       // Stream bodies are bounded by the head dict's /Length, NOT by
       // searching for "endstream"/"endobj" markers — arbitrary deflate
@@ -240,23 +299,26 @@ object PdfWriter {
           val streamEnd =
             if (lm.find()) streamStart + lm.group(1).toInt
             else s.indexOf("\nendstream", streamStart)
-          out.write(latin1(encStrings(head, k) + "stream\n"))
-          out.write(PdfCrypt.rc4(k,
+          val cipher = encBytes(num,
             s.substring(streamStart, streamEnd)
-              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+              .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+          // AES lengthens the stream (IV + pad): /Length must track the
+          // CIPHERTEXT length or the reader's bounded walk desyncs.
+          val headEnc = encStrings(head, num)
+            .replaceFirst("/Length \\d+", s"/Length ${cipher.length}")
+          out.write(latin1(headEnc + "stream\n"))
+          out.write(cipher)
           out.write(latin1("\nendstream"))
           s.indexOf("\nendobj\n", streamEnd)
         } else {
-          out.write(latin1(encStrings(s.substring(bodyStart, eIdx), k)))
+          out.write(latin1(encStrings(s.substring(bodyStart, eIdx), num)))
           eIdx
         }
       objsOut += ((num, out.toByteArray))
       pos = bodyEnd + 8
     }
     val encNum = maxNum + 1
-    objsOut += ((encNum, latin1(
-      s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $perm " +
-      s"/O ${hexStr(o)} /U ${hexStr(u)} >>")))
+    objsOut += ((encNum, latin1(encDictBody)))
 
     val out = new ByteArrayOutputStream(clear.length + 512)
     out.write(latin1("%PDF-1.4\n"))

@@ -247,15 +247,83 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(dangling.getBytes(
       java.nio.charset.StandardCharsets.ISO_8859_1)) ==
       Left("encrypted PDF: unresolvable /Encrypt"))
-    // AES crypt filters (V=4/R=4) refuse loudly.
+    // An unpublished V value refuses loudly.
     val enc = PdfWriter.encryptRc4(classic)
-    val aes = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
-      .replace("/V 2 /R 3", "/V 4 /R 4")
-    assert(PdfParser.parse(aes.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
-      Left("encrypted PDF: unsupported V=4 R=4 (AES crypt filters)"))
+    val v3 = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 3 /R 3")
+    assert(PdfParser.parse(v3.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Left("encrypted PDF: unsupported V=3 R=3"))
+    // An unknown crypt-filter method refuses loudly.
+    val badCfm = new String(PdfWriter.encryptStandard(classic, "aesv2"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/CFM /AESV2", "/CFM /AESV9")
+    assert(PdfParser.parse(badCfm.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Left("encrypted PDF: unsupported crypt filter AESV9/AESV9"))
     // A real (non-empty) user password: tampered /U never matches.
     val locked = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
       .replaceFirst("/U <[0-9a-f]+>", "/U <" + "00" * 32 + ">")
+    assert(PdfParser.parse(locked.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
+      Left("encrypted PDF: password required"))
+  }
+
+  test("AES-encrypted PDFs (V4/R4, V5/R5, V5/R6) decrypt to the identical document") {
+    val clear = PdfWriter.build(Seq(
+      PageSpec(textBlocks = Seq("aes secret body", "second (escaped) line\nwith break")),
+      PageSpec(textBlocks = Seq("page two"), imageAlts = Seq("an alt description"))))
+    val want = PdfParser.parse(clear)
+    assert(want.isRight)
+    Seq("aesv2", "aesv3-r5", "aesv3-r6").foreach { variant =>
+      val enc = PdfWriter.encryptStandard(clear, variant)
+      val encS = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(!encS.contains("aes secret"), variant)
+      assert(!encS.contains("an alt description"), variant)
+      assert(encS.contains("/Encrypt"), variant)
+      assert(PdfParser.parse(enc) == want, variant)
+    }
+  }
+
+  test("kernel extracts AES-encrypted PDFs byte-identically to their clear form") {
+    val proc = graft.extract.Processor.default
+    def extractOf(bytes: Array[Byte]) = proc.extract(
+      graft.model.KernelPage("https://t.example/aes", bytes, "en"), "balanced")
+    val clear = PdfWriter.build(Seq(
+      PageSpec(textBlocks = Seq("alpha beta gamma", "delta")),
+      PageSpec(imageAlts = Seq("figure description"))))
+    val a = extractOf(clear)
+    Seq("aesv2", "aesv3-r5", "aesv3-r6").foreach { variant =>
+      val b = extractOf(PdfWriter.encryptStandard(clear, variant))
+      assert(b.success, variant)
+      assert(a.text == b.text && a.word_count == b.word_count &&
+        a.pdf_type == b.pdf_type && a.total_pages == b.total_pages, variant)
+    }
+  }
+
+  test("AES-encrypted PDFs survive truncation/mutation fuzz without throwing") {
+    Seq("aesv2", "aesv3-r6").foreach { variant =>
+      val enc = PdfWriter.encryptStandard(PdfWriter.build(Seq(
+        PageSpec(textBlocks = Seq("alpha", "beta")),
+        PageSpec(imageAlts = Seq("alt")))), variant)
+      (0 until enc.length by 37).foreach { cut =>
+        PdfParser.parse(enc.take(cut))
+      }
+      // Byte mutations across the file (incl. U/UE/O/OE hex strings,
+      // the CF dict, IVs, and ciphertext): parse returns Left or a
+      // partial doc, never throws — AES pad handling included.
+      val rng = new scala.util.Random(29)
+      (1 to 60).foreach { _ =>
+        val b = enc.clone()
+        b(rng.nextInt(b.length)) = rng.nextInt(256).toByte
+        PdfParser.parse(b)
+      }
+    }
+  }
+
+  test("AES V5: a real (non-empty) user password refuses with password required") {
+    val clear = PdfWriter.build(Seq(PageSpec(textBlocks = Seq("secret"))))
+    val enc = PdfWriter.encryptStandard(clear, "aesv3-r6")
+    // Corrupt the /U validation hash: the empty password no longer opens.
+    val locked = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("/U <[0-9a-f]{4}", "/U <ffff")
     assert(PdfParser.parse(locked.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) ==
       Left("encrypted PDF: password required"))
   }
