@@ -289,6 +289,44 @@ object TextOps {
              LEFT JOIN hits h USING (doc_id)
              ORDER BY doc_id""")),
 
+    // ---- q53 through the PERSISTENT signature store (the production
+    // shape): run 1 writes the corpus sketch table once
+    // (queries.SignatureStore — the exact layout the streaming near-dup
+    // path has always persisted); every later ingest reads precomputed
+    // (hsh, bands) rows and sketches only the arriving batch. Same
+    // oracle as q53 — a green row proves the store round-trip loses
+    // nothing vs the in-plan staging variant. The store dir is cached
+    // per sf input (x50's fixture-cache pattern).
+    ("q53s_dedup_store",
+      (s, d) => {
+        val dir = s"/tmp/graft_q/sigstore_v1_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        if (!new java.io.File(s"$dir/batch_id=0/_SUCCESS").exists())
+          SignatureStore.write(
+            tbl(s, d, "documents").where(col("doc_id") % 5 =!= 0)
+              .select("doc_id", "text"), dir, 0L)
+        SignatureStore.verdictsAgainst(
+            tbl(s, d, "documents").where(col("doc_id") % 5 === 0)
+              .select("doc_id", "text"),
+            SignatureStore.read(s, dir))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles FROM t),
+             corpus AS (SELECT * FROM sh WHERE doc_id % 5 != 0),
+             batch AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+             hits AS (SELECT b.doc_id AS doc_id, min(c.doc_id) AS dup_of
+                      FROM batch b JOIN corpus c
+                        ON CAST(len(list_intersect(b.shingles, c.shingles)) AS DOUBLE) /
+                           CAST(len(list_distinct(list_concat(b.shingles, c.shingles))) AS DOUBLE) >= 0.5
+                      GROUP BY b.doc_id)
+             SELECT d.doc_id,
+               CASE WHEN h.dup_of IS NULL THEN 'kept' ELSE 'dup' END AS verdict,
+               CAST(h.dup_of AS BIGINT) AS dup_of
+             FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             LEFT JOIN hits h USING (doc_id)
+             ORDER BY doc_id""")),
+
     // ---- Paragraph-span dedup (the C4 "discard all but one of any
     // span occurring more than once" pass, at paragraph granularity).
     // The corpus text is single-line, so paragraph breaks are derived

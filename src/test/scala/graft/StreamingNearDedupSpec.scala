@@ -98,4 +98,51 @@ class StreamingNearDedupSpec extends SparkSuite {
     assert(streamed == expected)
     assert(dropped.nonEmpty, "the near-dup corpus should drop something")
   }
+
+  test("batch verdicts read the store the STREAMING path wrote (one layout)") {
+    import spark.implicits._
+    val in = tmpDir("nds_in")
+    val out = tmpDir("nds_out")
+    val ckpt = tmpDir("nds_ckpt")
+    val sig = tmpDir("nds_sig")
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    Seq(novel(0L), novel(1L), novel(2L))
+      .toDF(cols: _*).coalesce(1).write.mode("overwrite").parquet(in)
+    StreamingExtract.nearDedupStream(spark, in, out, ckpt, sig).awaitTermination()
+
+    // A later BATCH ingest judges against the store the stream wrote:
+    // same layout, no re-sketching of the corpus side.
+    val batch = Seq(nearDupOf(20L, 1L), novel(21L)).toDF(cols: _*)
+      .select("doc_id", "text")
+    val v = graft.queries.SignatureStore.verdictsAgainst(
+        batch, graft.queries.SignatureStore.read(spark, sig))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"), Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    assert(v(20L) == ("dup", Some(1L)), s"stored near-dup must be caught: $v")
+    assert(v(21L) == ("kept", None), s"novel doc must be kept: $v")
+
+    // And the reverse direction: a store written by the BATCH API is
+    // what the streaming micro-batch judges against (same dir). The
+    // pre-seed uses a NEGATIVE ingest id — stream batches only judge
+    // against strictly-earlier partitions (the replay contract), so a
+    // corpus seed must sort below every future batch id.
+    graft.queries.SignatureStore.write(
+      Seq(novel(30L)).toDF(cols: _*).select("doc_id", "text"), sig, -1L)
+    Seq(nearDupOf(40L, 30L), novel(41L))
+      .toDF(cols: _*).coalesce(1).write.mode("append").parquet(in)
+    StreamingExtract.nearDedupStream(spark, in, out, ckpt, sig).awaitTermination()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(40L), "streaming must drop the near-dup of the batch-written doc")
+    assert(kept.contains(41L))
+  }
+
+  test("q53s (store-backed) verdicts equal q53 (in-plan staging) verdicts") {
+    val sf = "/root/testdata/sf0.001"
+    val a = SparkEntry.queries("q53_incremental_dedup")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q53s_dedup_store")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "store round-trip must lose nothing vs in-plan staging")
+    assert(a.exists(_(1) == "dup"), "corpus should contain at least one dup verdict")
+  }
 }

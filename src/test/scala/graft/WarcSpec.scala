@@ -248,6 +248,48 @@ class WarcSpec extends SparkSuite {
     assert(got.toSeq == (a ++ b).map(_.url).sorted)
   }
 
+  test("multi-GB archive streams end-to-end (env-gated: SPARK_GRAFT_BIG_WARC=1)") {
+    // Proves the former whole-archive-byte-array ceiling (2 GB = the
+    // JVM array max that round 2's reader hit) is gone at REALISTIC
+    // size, not just in unit fixtures: a plain .warc larger than any
+    // possible byte[] streams through readPages with O(largest-record)
+    // memory. Gated because it writes ~2.4 GB to /tmp (~40 s round
+    // trip on the sandbox disk).
+    assume(sys.env.get("SPARK_GRAFT_BIG_WARC").contains("1"),
+      "set SPARK_GRAFT_BIG_WARC=1 to run the multi-GB smoke")
+    val dir = tmpDir("warc_big")
+    val n = 2400
+    val bodyLen = 1000000
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(s"$dir/big.warc"), 1 << 20)
+    try {
+      var i = 0
+      while (i < n) {
+        val body = new Array[Byte](bodyLen)
+        java.util.Arrays.fill(body, ('a' + i % 26).toByte)
+        val http = s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+          .getBytes("ISO-8859-1")
+        val payload = http ++ body
+        out.write((s"WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: https://big.example/$i\r\n" +
+          s"WARC-Date: 2023-11-14T22:13:20Z\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1"))
+        out.write(payload)
+        out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+        i += 1
+      }
+    } finally out.close()
+    val fileBytes = new java.io.File(s"$dir/big.warc").length()
+    assert(fileBytes > Int.MaxValue.toLong,
+      s"fixture must exceed the 2 GB byte[] ceiling, was $fileBytes")
+    import org.apache.spark.sql.functions._
+    val agg = Warc.readPages(spark, dir)
+      .agg(count(lit(1)), sum(length(col("html")).cast("long"))).collect()(0)
+    assert(agg.getLong(0) == n.toLong)
+    assert(agg.getLong(1) == n.toLong * bodyLen, "payload bytes must survive intact")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("corrupt gzip header (1f 8b + garbage) yields empty, never throws") {
     val junk = Array[Byte](0x1f.toByte, 0x8b.toByte, 0x7f, 0x00)
     assert(Warc.streamPages(new java.io.ByteArrayInputStream(junk)).isEmpty)
