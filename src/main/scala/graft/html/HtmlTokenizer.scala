@@ -145,7 +145,13 @@ object HtmlTokenizer {
           val nameStart = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val name = lowerSlice(html, nameStart, j)
-          // Parse attributes until '>'.
+          // Parse attributes until '>'. Attribute VALUES are only ever
+          // consumed for <img alt=…> (the single attrs read in the whole
+          // engine) — for every other tag the loop runs the identical
+          // scanning state machine (quoted values may contain '>') but
+          // skips the substring/entity-decode/Map work, which otherwise
+          // allocates per <a href>/<div class> on the hot path.
+          val keepAttrs = name == "img"
           var attrs = Map.empty[String, String]
           var selfClosing = false
           var done = false
@@ -162,7 +168,7 @@ object HtmlTokenizer {
                 val aStart = j
                 while (j < n && !Character.isWhitespace(html.charAt(j)) &&
                        html.charAt(j) != '=' && html.charAt(j) != '>' && html.charAt(j) != '/') j += 1
-                val aName = lowerSlice(html, aStart, j)
+                val aEnd = j
                 while (j < n && Character.isWhitespace(html.charAt(j))) j += 1
                 if (j < n && html.charAt(j) == '=') {
                   j += 1
@@ -171,15 +177,20 @@ object HtmlTokenizer {
                     val quote = html.charAt(j); j += 1
                     val vStart = j
                     while (j < n && html.charAt(j) != quote) j += 1
-                    val v = html.substring(vStart, math.min(j, n))
+                    if (keepAttrs && aEnd > aStart) {
+                      val v = html.substring(vStart, math.min(j, n))
+                      attrs += (lowerSlice(html, aStart, aEnd) -> decodeEntities(v))
+                    }
                     if (j < n) j += 1
-                    if (aName.nonEmpty) attrs += (aName -> decodeEntities(v))
                   } else {
                     val vStart = j
                     while (j < n && !Character.isWhitespace(html.charAt(j)) && html.charAt(j) != '>') j += 1
-                    if (aName.nonEmpty) attrs += (aName -> decodeEntities(html.substring(vStart, j)))
+                    if (keepAttrs && aEnd > aStart)
+                      attrs += (lowerSlice(html, aStart, aEnd) ->
+                        decodeEntities(html.substring(vStart, j)))
                   }
-                } else if (aName.nonEmpty) attrs += (aName -> "")
+                } else if (keepAttrs && aEnd > aStart)
+                  attrs += (lowerSlice(html, aStart, aEnd) -> "")
             }
           }
           if (ok) {
