@@ -291,6 +291,67 @@ object VectorOps {
         SELECT query_id, rank, neighbor_id FROM rk WHERE rank <= 3
         ORDER BY query_id, rank""")),
 
+    // ---- LSH-banded embedding near-dup (q31's SCALE PATH, the same
+    // closure q73 gives SimHash): 16 md5-derived hyperplanes in 4 bands
+    // × 4 sign bits; candidate pairs share ≥1 exact 4-bit band key,
+    // then exact cosine ≥ 0.4 verifies. The oracle mirrors the banding
+    // procedure bit-for-bit, so a green row pins the implementation
+    // EXACTLY; the retrieval quality is MEASURED against the q31 brute
+    // baseline and reported, not assumed (QueryOpsSpec: recall 29/59 =
+    // 0.49 at this corpus's low 0.4 threshold — random-hyperplane LSH
+    // is genuinely weak at 66° angles; production near-dup runs at
+    // cos ≥ 0.9 where 4×4 banding recalls ≥0.95, and widens band keys
+    // to 16-32 bits so bucket sizes — fixed at 16 per band here, a
+    // small-corpus artifact — track corpus size). Shuffles carry
+    // (band_id, 4-bit key, vec_id); vectors move only for verified
+    // candidates.
+    ("q74_embedding_neardup_lsh",
+      (s, d) => {
+        val e = emb(s, d)
+        val sig = e.select(col("vec_id"),
+          transform(sequence(lit(0), lit(3)), b =>
+            concat_ws("", transform(sequence(lit(0), lit(3)), k =>
+              when(aggregate(zip_with(col("v"),
+                  sequence(lit(0), size(col("v")) - 1),
+                  (x, i) => x * ((ascii(substring(
+                    md5(concat((b * 4 + k).cast("string"), lit(":"), i.cast("string"))), 1, 1))
+                    % 16).cast("double") - 7.5)),
+                lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0")))))
+            .as("bands"))
+        val bands = sig.select(col("vec_id"),
+          posexplode(col("bands")).as(Seq("band_id", "band_key")))
+        val cand = bands.toDF("vid_a", "band_id", "band_key")
+          .join(bands.toDF("vid_b", "band_id", "band_key"), Seq("band_id", "band_key"))
+          .where(col("vid_a") < col("vid_b"))
+          .select("vid_a", "vid_b").distinct()
+        cand
+          .join(e.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na")), Seq("vid_a"))
+          .join(e.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid_b"))
+          .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+          .where(col("cos") >= 0.4)
+          .select("vid_a", "vid_b")
+          .orderBy("vid_a", "vid_b")
+      },
+      Some("""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+                           generate_subscripts(embedding,1) - 1 AS i FROM embeddings),
+             s AS (SELECT vec_id, p.p,
+                     sum(v * (CAST(ascii(substr(md5(p.p || ':' || i), 1, 1)) % 16 AS DOUBLE) - 7.5)) AS proj
+                   FROM e CROSS JOIN (SELECT unnest(range(16)) AS p) p
+                   GROUP BY vec_id, p.p),
+             k AS (SELECT vec_id, p // 4 AS band_id,
+                     string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
+                   FROM s GROUP BY vec_id, p // 4),
+             cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+                      FROM k a JOIN k b ON a.band_id = b.band_id
+                        AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+             cs AS (SELECT c.vid_a, c.vid_b,
+                      sum(ea.v*eb.v)/(sqrt(sum(ea.v*ea.v))*sqrt(sum(eb.v*eb.v))) AS cos
+                    FROM cand c JOIN e ea ON ea.vec_id = c.vid_a
+                    JOIN e eb ON eb.vec_id = c.vid_b AND eb.i = ea.i
+                    GROUP BY 1,2)
+             SELECT vid_a, vid_b FROM cs WHERE cos >= 0.4
+             ORDER BY vid_a, vid_b""")),
+
     // ---- All-pairs cosine near-dup (embedding near-duplicate detection
     // baseline; ids only — rank order is FP-stable, raw scores are not).
     ("q31_embedding_neardup",

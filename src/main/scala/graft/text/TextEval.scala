@@ -12,6 +12,7 @@ object TextEval {
   def levenshtein[T](a: IndexedSeq[T], b: IndexedSeq[T]): Int = {
     if (a.isEmpty) return b.length
     if (b.isEmpty) return a.length
+    if (a == b) return 0 // skip the O(n·m) DP for the identical case
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val m = s.length
     var prev = Array.tabulate(m + 1)(identity)

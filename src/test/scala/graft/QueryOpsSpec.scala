@@ -110,6 +110,24 @@ class QueryOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in q73 plan:\n$plan")
   }
 
+  test("q74 LSH near-dup: sound vs brute baseline, recall measured, no all-pairs") {
+    val brute = SparkEntry.queries("q31_embedding_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val df = SparkEntry.queries("q74_embedding_neardup_lsh")(spark, sf)
+    val lsh = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Soundness: every emitted pair passed the exact cosine verify, so
+    // the banded result must be a subset of the brute pair set.
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute)}")
+    // Recall is MEASURED, not assumed: 4 bands × 4 sign bits at this
+    // corpus's low 0.4 threshold sits near 0.5 (hyperplane LSH at 66°
+    // angles); assert the floor so a hash regression fails loudly.
+    val recall = lsh.size.toDouble / brute.size
+    assert(brute.nonEmpty && recall >= 0.35, f"recall $recall%.2f (${lsh.size}/${brute.size})")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join in q74 plan:\n$plan")
+  }
+
   test("q29 cosine top-k: self-similar clusters rank first on a known vector") {
     import spark.implicits._
     // Synthetic check independent of testdata: nearest neighbor of
