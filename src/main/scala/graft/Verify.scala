@@ -24,9 +24,20 @@ object Verify {
     val marker = new java.io.File(outRoot, ".graft_verify")
     if (outRoot.exists()) {
       val entries = Option(outRoot.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
-      require(entries.isEmpty || marker.exists(),
+      // A previous Verify output is recognized by its marker, or — for
+      // outputs written before the marker existed — by shape: nothing
+      // but per-query result dirs (q*/x* holding parquet) and
+      // oracle_sql.json. Anything else (a data directory, a mistyped
+      // path) refuses rather than being destroyed.
+      def looksLikeVerifyArtifact(f: java.io.File): Boolean =
+        f.getName == "oracle_sql.json" || f.getName == ".graft_verify" ||
+          (f.isDirectory && (f.getName.startsWith("q") || f.getName.startsWith("x")) &&
+            Option(f.list()).exists(_.forall(n =>
+              n.endsWith(".parquet") || n.endsWith(".crc") || n.startsWith("_") || n.startsWith("."))))
+      require(entries.isEmpty || marker.exists() || entries.forall(looksLikeVerifyArtifact),
         s"refusing to clean non-empty $outDir: it is not a previous Verify " +
-          "output (no .graft_verify marker). Pick an empty or fresh directory.")
+          "output (no .graft_verify marker and foreign entries present). " +
+          "Pick an empty or fresh directory.")
       import scala.reflect.io.Directory
       entries.foreach(f => new Directory(f).deleteRecursively())
     }
