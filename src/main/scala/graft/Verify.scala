@@ -29,9 +29,13 @@ object Verify {
       // but per-query result dirs (q*/x* holding parquet) and
       // oracle_sql.json. Anything else (a data directory, a mistyped
       // path) refuses rather than being destroyed.
+      // Query-key shape is strict (q01_pricing_summary, q53s_dedup_store,
+      // x40_extract_balanced …): a bare "q1"/"quarterly" Spark output
+      // dir must NOT match — only <q|x><digits>[letter]_<slug> does.
+      val queryDirName = "^[qx][0-9]+[a-z]?_[a-z0-9_]+$".r
       def looksLikeVerifyArtifact(f: java.io.File): Boolean =
         f.getName == "oracle_sql.json" || f.getName == ".graft_verify" ||
-          (f.isDirectory && (f.getName.startsWith("q") || f.getName.startsWith("x")) &&
+          (f.isDirectory && queryDirName.matches(f.getName) &&
             Option(f.list()).exists(_.forall(n =>
               n.endsWith(".parquet") || n.endsWith(".crc") || n.startsWith("_") || n.startsWith("."))))
       require(entries.isEmpty || marker.exists() || entries.forall(looksLikeVerifyArtifact),

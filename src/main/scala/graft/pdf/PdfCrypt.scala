@@ -170,10 +170,13 @@ object PdfCrypt {
     * rather than throwing (honest bytes beat an aborted document).
     */
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    if (data.length < 32 || (data.length - 16) % 16 != 0)
-      return Array.emptyByteArray
+    if (data.length < 32) return Array.emptyByteArray
+    // A crawl-truncated stream cut mid-block still yields every COMPLETE
+    // leading CBC block (RC4-parity graceful degradation): decrypt the
+    // whole-block prefix, drop the ragged tail.
+    val usable = ((data.length - 16) / 16) * 16
     val plain = aesCbcDecryptNoPad(key, data.slice(0, 16),
-      data.slice(16, data.length))
+      data.slice(16, 16 + usable))
     val pad = plain.last & 0xff
     if (pad >= 1 && pad <= 16 && pad <= plain.length &&
         plain.takeRight(pad).forall(b => (b & 0xff) == pad))

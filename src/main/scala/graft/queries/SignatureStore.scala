@@ -32,9 +32,17 @@ object SignatureStore {
     * written for a stream to consume must use a negative id.
     */
   def write(docs: DataFrame, sigDir: String, ingestId: Long): Unit =
-    Sketch.sketch(docs)
-      .withColumn("bands", Sketch.bandSigs(col("sigs")))
-      .select("doc_id", "hsh", "bands")
+    writeRows(
+      Sketch.sketch(docs).withColumn("bands", Sketch.bandSigs(col("sigs"))),
+      sigDir, ingestId)
+
+  /** Write ALREADY-SKETCHED rows (doc_id, hsh, bands, …extras) as one
+    * ingest partition — THE single place that owns the on-disk layout;
+    * both the batch path above and the streaming micro-batch go through
+    * it.
+    */
+  def writeRows(sketchRows: DataFrame, sigDir: String, ingestId: Long): Unit =
+    sketchRows.select("doc_id", "hsh", "bands")
       .write.mode("overwrite").parquet(s"$sigDir/batch_id=$ingestId")
 
   /** The store as one logical sketch table; `beforeBatch` restricts to

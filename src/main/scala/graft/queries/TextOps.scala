@@ -299,7 +299,13 @@ object TextOps {
     // per sf input (x50's fixture-cache pattern).
     ("q53s_dedup_store",
       (s, d) => {
-        val dir = s"/tmp/graft_q/sigstore_v1_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+        // Cache key carries the sketch family version AND the source
+        // table's mtime: a regenerated corpus or a changed hash family
+        // must never silently reuse stale signatures (the op_pages
+        // genVersion precedent).
+        val src = new java.io.File(s"$d/documents.parquet")
+        val dir = s"/tmp/graft_q/sigstore_v${Sketch.NumHashes}x${Sketch.Bands}" +
+          s"_${src.lastModified}_${d.replaceAll("[^A-Za-z0-9]", "_")}"
         if (!new java.io.File(s"$dir/batch_id=0/_SUCCESS").exists())
           SignatureStore.write(
             tbl(s, d, "documents").where(col("doc_id") % 5 =!= 0)

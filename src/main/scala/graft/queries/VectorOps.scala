@@ -42,6 +42,23 @@ object VectorOps {
   private def dot(a: String, b: String) =
     call_function("vector_dot", col(a), col(b))
 
+  /** Sign bit ('1'/'0') of dot(v, hyperplane p) — the md5-derived
+    * deterministic hyperplane family SHARED by q30 (bucket keys) and
+    * q74 (banded near-dup): weight for (plane p, dim i) = first md5 hex
+    * digit of "p:i" minus 7.5. FP caveat, shared with the oracles: the
+    * Spark fold is sequential while DuckDB's grouped sum order is
+    * unspecified, so a projection within float-epsilon of 0 could band
+    * differently cross-engine — with these integer-derived weights and
+    * 64 dims the projections sit far from 0, and three rounds of green
+    * q30 rows pin that empirically.
+    */
+  private def hyperplaneBit(p: Column, v: Column): Column =
+    when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * ((ascii(substring(
+          md5(concat(p.cast("string"), lit(":"), i.cast("string"))), 1, 1))
+          % 16).cast("double") - 7.5)),
+      lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+
   /** Data-derived IVF centroids (replaces round-2's md5-derived ones,
     * whose recall was unrepresentative — BENCH.md measured 1/30
     * single-probe): 8 deterministic seed vectors (vec_id 0..7) refined
@@ -167,16 +184,10 @@ object VectorOps {
     // buckets — no all-pairs join).
     ("q30_lsh_buckets",
       (s, d) => {
-        val planes = lit(8)
         emb(s, d)
           .withColumn("bucket",
-            concat_ws("", transform(sequence(lit(0), planes - 1),
-              b => when(aggregate(zip_with(col("v"),
-                  sequence(lit(0), size(col("v")) - 1),
-                  (x, i) => x * ((ascii(substring(
-                    md5(concat(b.cast("string"), lit(":"), i.cast("string"))), 1, 1))
-                    % 16).cast("double") - 7.5)),
-                lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0")))))
+            concat_ws("", transform(sequence(lit(0), lit(7)),
+              b => hyperplaneBit(b, col("v")))))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
           .orderBy("bucket")
@@ -311,13 +322,7 @@ object VectorOps {
         val sig = e.select(col("vec_id"),
           transform(sequence(lit(0), lit(3)), b =>
             concat_ws("", transform(sequence(lit(0), lit(3)), k =>
-              when(aggregate(zip_with(col("v"),
-                  sequence(lit(0), size(col("v")) - 1),
-                  (x, i) => x * ((ascii(substring(
-                    md5(concat((b * 4 + k).cast("string"), lit(":"), i.cast("string"))), 1, 1))
-                    % 16).cast("double") - 7.5)),
-                lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0")))))
-            .as("bands"))
+              hyperplaneBit(b * 4 + k, col("v"))))).as("bands"))
         val bands = sig.select(col("vec_id"),
           posexplode(col("bands")).as(Seq("band_id", "band_key")))
         val cand = bands.toDF("vid_a", "band_id", "band_key")

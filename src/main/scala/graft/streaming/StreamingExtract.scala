@@ -292,26 +292,22 @@ object StreamingExtract {
       .localCheckpoint()
     val bandsB = Sketch.explodeBands(sk)
 
-    // Signature store from earlier batches (absent on the first).
+    // Signature store from earlier batches (absent on the first). Keep
+    // only PRIOR partitions (batch_id < batchId, via SignatureStore.read
+    // — the single owner of the store layout):
+    //  - a foreachBatch retry may run after the failed attempt already
+    //    wrote this batch's signatures — judging a batch against its own
+    //    sketches would drop every document as a dup of itself;
+    //  - a backfill REPLAY of an older batchId after later batches
+    //    committed must see exactly the store that batch saw originally,
+    //    or the replay changes that partition's output (batch ids are
+    //    monotone, so "<" is precisely "what existed when this batch
+    //    first ran"). Partition pruning makes the filter free.
     val store: Option[DataFrame] = {
       val path = new org.apache.hadoop.fs.Path(sigDir)
       val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(path) && fs.listStatus(path).nonEmpty)
-        // Keep only PRIOR batches' partitions (batch_id < batchId):
-        //  - a foreachBatch retry may run after the failed attempt
-        //    already wrote this batch's signatures — judging a batch
-        //    against its own sketches would drop every document as a
-        //    dup of itself;
-        //  - a backfill REPLAY of an older batchId after later batches
-        //    committed must see exactly the store that batch saw
-        //    originally, or the replay changes that partition's output
-        //    (batch ids are monotone, so "<" is precisely "what existed
-        //    when this batch first ran"). Partition pruning makes the
-        //    filter free. Then project the batch_id partition-discovery
-        //    column away — the store is one logical sketch table.
-        Some(s.read.parquet(sigDir)
-          .where(col("batch_id") < batchId)
-          .select("doc_id", "hsh", "bands"))
+        Some(graft.queries.SignatureStore.read(s, sigDir, beforeBatch = Some(batchId)))
       else None
     }
 
@@ -346,10 +342,10 @@ object StreamingExtract {
     kept.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
     // Novel documents' sketches extend the store (idempotent per
     // batch); `sigs` is dropped — future joins need only the verify
-    // arrays and the precomputed band keys.
-    sk.join(dups, Seq("doc_id"), "left_anti")
-      .select("doc_id", "hsh", "bands")
-      .write.mode("overwrite").parquet(s"$sigDir/batch_id=$batchId")
+    // arrays and the precomputed band keys. SignatureStore.writeRows
+    // owns the layout (one schema for batch and streaming).
+    graft.queries.SignatureStore.writeRows(
+      sk.join(dups, Seq("doc_id"), "left_anti"), sigDir, batchId)
   }
 
   /** One metrics row per extracted page (event time carried through the

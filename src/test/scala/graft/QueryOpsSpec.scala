@@ -104,8 +104,8 @@ class QueryOpsSpec extends SparkSuite {
       assert(r.getAs[Long]("max_nb") == (if (nbs.isEmpty) -1L else nbs.max), s"doc $id max")
     }
     // Plan shape: the self-join must be a shuffled/broadcast equi-join
-    // on the band key, never a cartesian product.
-    df.collect()
+    // on the band key, never a cartesian product (the collect above
+    // already finalized the adaptive plan).
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in q73 plan:\n$plan")
   }
@@ -123,7 +123,6 @@ class QueryOpsSpec extends SparkSuite {
     // angles); assert the floor so a hash regression fails loudly.
     val recall = lsh.size.toDouble / brute.size
     assert(brute.nonEmpty && recall >= 0.35, f"recall $recall%.2f (${lsh.size}/${brute.size})")
-    df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in q74 plan:\n$plan")
   }
