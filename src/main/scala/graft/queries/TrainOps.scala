@@ -56,6 +56,60 @@ object TrainOps {
                md5(array_to_string(toks[win_id*$S+1 : least(win_id*$S+$W, n)], ' ')) AS win_md5
              FROM w ORDER BY doc_id, win_id""")),
 
+    // ---- GPT-style sequence PACKING (concat-and-chop): all documents
+    // concatenated in doc_id order and chopped into fixed L-token
+    // training sequences — the packing step real pretraining pipelines
+    // run AFTER curation (q57's per-doc windows are the other chunking
+    // regime; packing is what eliminates padding waste for short docs).
+    // Per doc: its global token offset, the first/last sequence it
+    // lands in, and how many sequences it spans.
+    //
+    // Scale shape — the naive form is a corpus-wide ORDER BY window
+    // (one reducer at 10^12 rows); this is the standard DISTRIBUTED
+    // PREFIX SUM instead: level 1 aggregates per-bucket token totals
+    // (64 docs/bucket → a tiny table) and runs the only unpartitioned
+    // window over THAT; level 2's intra-bucket cumsum is partitioned by
+    // bucket, so every corpus-sized shuffle/window is parallel and the
+    // bucket-offset table broadcasts.
+    ("q75_sequence_packing",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = tbl(s, d, "documents")
+          .withColumn("n_toks", size(tokens(col("text"))))
+          .select(col("doc_id"), col("n_toks"))
+          .withColumn("bucket", expr("doc_id div 64"))
+        val bucketPrefix = t.groupBy("bucket").agg(sum("n_toks").as("btoks"))
+          .withColumn("bucket_offset",
+            coalesce(sum("btoks").over(Window.orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("bucket", "bucket_offset")
+        val w = Window.partitionBy("bucket").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t.join(broadcast(bucketPrefix), "bucket")
+          .withColumn("tok_offset",
+            col("bucket_offset") + coalesce(sum("n_toks").over(w), lit(0L)))
+          .withColumn("seq_first", expr("tok_offset div 128"))
+          .withColumn("seq_last",
+            expr("(tok_offset + greatest(n_toks, 1) - 1) div 128"))
+          .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+          .select(col("doc_id"), col("n_toks").cast("int").as("n_toks"),
+            col("tok_offset"), col("seq_first"), col("seq_last"), col("n_seqs"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                 len(regexp_extract_all(lower(text), '\S+')) AS n_toks
+               FROM documents),
+             o AS (SELECT doc_id, n_toks,
+                     coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+                   FROM t)
+             SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+               CAST(off AS BIGINT) AS tok_offset,
+               CAST(off // 128 AS BIGINT) AS seq_first,
+               CAST((off + greatest(n_toks, 1) - 1) // 128 AS BIGINT) AS seq_last,
+               CAST((off + greatest(n_toks, 1) - 1) // 128 - off // 128 + 1 AS BIGINT) AS n_seqs
+             FROM o ORDER BY doc_id""")),
+
     // ---- Deterministic stratified sampling: per-language keep rates
     // via md5 hex-prefix threshold (en 80% / de 50% / others 20% — a
     // typical mixture rebalance). threshold = rate×256 in 2 hex chars;

@@ -60,6 +60,32 @@ class TrainOpsSpec extends SparkSuite {
     assert(rows.exists(_.getBoolean(2)) && rows.exists(!_.getBoolean(2)))
   }
 
+  test("q75: packing offsets are contiguous, spans coherent, prefix-sum windows bucketed") {
+    val df = SparkEntry.queries("q75_sequence_packing")(spark, sf)
+    val rows = df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_toks"),
+      r.getAs[Long]("tok_offset"), r.getAs[Long]("seq_first"),
+      r.getAs[Long]("seq_last"), r.getAs[Long]("n_seqs")))
+    assert(rows.nonEmpty)
+    // Contiguity: each doc starts exactly where the previous ended —
+    // the two-level prefix sum equals the sequential definition.
+    rows.sliding(2).foreach { case Array((_, n, off, _, _, _), (d2, _, off2, _, _, _)) =>
+      assert(off2 == off + n, s"offset gap before doc $d2")
+    }
+    assert(rows.head._3 == 0L, "first doc starts at offset 0")
+    rows.foreach { case (d, n, off, sf0, sl, ns) =>
+      assert(sf0 == off / 128, s"doc $d seq_first")
+      assert(sl == (off + math.max(n, 1) - 1) / 128, s"doc $d seq_last")
+      assert(ns == sl - sf0 + 1 && ns >= 1, s"doc $d n_seqs")
+    }
+    // A doc longer than L must span >1 sequence somewhere in the corpus.
+    assert(rows.exists(_._6 > 1), "corpus should contain multi-sequence docs")
+    // Scale guard: the corpus-sized window must be PARTITIONED (by
+    // bucket); only the tiny bucket-totals window may be global.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(bucket"),
+      s"expected the per-doc cumsum window to be bucket-partitioned:\n$plan")
+  }
+
   test("q59: mixture weights are positive and sum to ~1") {
     val ws = SparkEntry.queries("q59_mixture_weights")(spark, sf)
       .collect().map(_.getDouble(2))
