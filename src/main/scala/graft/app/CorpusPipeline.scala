@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
   *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
-  *     [--span-dedup]
+  *     [--span-dedup] [--pack]
   */
 object CorpusPipeline {
 
@@ -40,7 +40,8 @@ object CorpusPipeline {
       stride: Int = 40,
       quality: String = "balanced",
       cluster: Boolean = false,
-      spanDedup: Boolean = false)
+      spanDedup: Boolean = false,
+      pack: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -57,6 +58,7 @@ object CorpusPipeline {
         case "--quality" => a = a.copy(quality = argv(i + 1)); i += 2
         case "--cluster" => a = a.copy(cluster = true); i += 1
         case "--span-dedup" => a = a.copy(spanDedup = true); i += 1
+        case "--pack" => a = a.copy(pack = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -234,6 +236,45 @@ object CorpusPipeline {
     sampled.write.mode("overwrite").parquet(s"${a.out}/training_windows")
     val nSampled = spark.read.parquet(s"${a.out}/training_windows").count()
     stages += "sampled" -> nSampled
+
+    // 9. Sequence PACKING (optional, q75 shape, materialized): all
+    // cleaned docs concatenated in a deterministic order and chopped
+    // into fixed --window-token training sequences — the padding-free
+    // alternative to per-doc windows. Order key = md5(url) (urls are
+    // not dense ids, so the q75 doc_id buckets become the md5's first
+    // byte — 256 buckets that PARTITION the order); offsets come from
+    // the same two-level distributed prefix sum (per-bucket totals →
+    // tiny global window → bucket-partitioned cumsum), then tokens
+    // regroup by global position div L. One token-level shuffle — the
+    // honest cost of materializing packed sequences.
+    if (a.pack) {
+      import org.apache.spark.sql.expressions.Window
+      val L = a.window
+      val t = clean
+        .withColumn("okey", md5(col("url")))
+        .withColumn("bucket", conv(substring(col("okey"), 1, 2), 16, 10).cast("long"))
+        .withColumn("n_toks", size(col("toks")))
+      val bp = t.groupBy("bucket").agg(sum("n_toks").as("btoks"))
+        .withColumn("bucket_offset", coalesce(sum("btoks").over(
+          Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("bucket", "bucket_offset")
+      val wOff = Window.partitionBy("bucket").orderBy("okey", "url")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val seqs = t.join(broadcast(bp), "bucket")
+        .withColumn("tok_offset",
+          col("bucket_offset") + coalesce(sum("n_toks").over(wOff), lit(0L)))
+        .select(col("tok_offset"), posexplode(col("toks")).as(Seq("tidx", "tok")))
+        .withColumn("seq_id", expr(s"(tok_offset + tidx) div $L"))
+        .withColumn("gpos", col("tok_offset") + col("tidx"))
+        .groupBy("seq_id")
+        .agg(count(lit(1)).cast("int").as("n_toks"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("gpos"), col("tok")))),
+            x => x.getField("tok"))).as("sequence_text"))
+      seqs.write.mode("overwrite").parquet(s"${a.out}/packed_sequences")
+      stages += "packed" -> spark.read.parquet(s"${a.out}/packed_sequences").count()
+    }
+
     windows.unpersist(); clean.unpersist()
     if (clean ne spanned) spanned.unpersist()
     // nearDeduped is unpersisted inside the span stage when it ran.

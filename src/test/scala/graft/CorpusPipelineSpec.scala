@@ -46,6 +46,34 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("--pack materializes fixed-length sequences that conserve every token") {
+    import spark.implicits._
+    val out = tmpDir("cp_pack")
+    val stages = CorpusPipeline.run(spark,
+      Args(rows = 600, out = out, window = 64, pack = true)).toMap
+    val seqs = spark.read.parquet(s"$out/packed_sequences")
+    assert(seqs.count() == stages("packed") && stages("packed") > 0)
+    val rows = seqs.select("seq_id", "n_toks", "sequence_text").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).sortBy(_._1)
+    // Sequence ids are dense 0..n-1; every sequence except the last has
+    // exactly L tokens; the text matches its own count.
+    assert(rows.map(_._1).toSeq == rows.indices.map(_.toLong))
+    rows.init.foreach { case (id, n, txt) =>
+      assert(n == 64, s"seq $id length"); assert(txt.split(" ").length == 64)
+    }
+    assert(rows.last._2 >= 1 && rows.last._2 <= 64)
+    // Token conservation: packed token total == cleaned-corpus total.
+    val packedToks = rows.map(_._2.toLong).sum
+    val expected = (stages("packed") - 1) * 64 + rows.last._2
+    assert(packedToks == expected)
+    // Determinism: a rerun packs byte-identically.
+    val out2 = tmpDir("cp_pack2")
+    CorpusPipeline.run(spark, Args(rows = 600, out = out2, window = 64, pack = true))
+    val again = spark.read.parquet(s"$out2/packed_sequences")
+      .orderBy("seq_id").collect().map(_.toSeq).toSeq
+    assert(again == seqs.orderBy("seq_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("--cluster collapses a transitive near-dup star to one representative; union-drop keeps the leaves") {
     import spark.implicits._
     // Star topology on 3-gram shingles: C shares >50% with A (common
