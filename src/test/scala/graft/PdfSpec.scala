@@ -318,6 +318,25 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("aesDecrypt: mid-block truncation recovers the whole-block prefix") {
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("k".getBytes("UTF-8"))
+    val iv = java.security.MessageDigest.getInstance("MD5").digest("iv".getBytes("UTF-8"))
+    val plain = (0 until 80).map(i => ('a' + i % 26).toChar).mkString
+      .getBytes("ISO-8859-1") // 80 bytes = 5 blocks
+    val full = graft.pdf.PdfCrypt.aesEncrypt(key, iv, plain) // 16 IV + 96 ct (pad)
+    // Chop mid-block: 16 IV + 32 whole ct bytes + 5 ragged → the two
+    // complete leading blocks decrypt; the tail is dropped, not the doc.
+    val truncated = full.take(16 + 32 + 5)
+    val got = graft.pdf.PdfCrypt.aesDecrypt(key, truncated)
+    assert(java.util.Arrays.equals(got, plain.take(32)),
+      s"expected 32-byte prefix, got ${got.length} bytes")
+    // Untruncated round-trip strips the PKCS#7 pad exactly.
+    assert(java.util.Arrays.equals(graft.pdf.PdfCrypt.aesDecrypt(key, full), plain))
+    // Sub-two-block input stays empty (no whole ciphertext block).
+    assert(graft.pdf.PdfCrypt.aesDecrypt(key, full.take(20)).isEmpty)
+  }
+
   test("AES V5: a real (non-empty) user password refuses with password required") {
     val clear = PdfWriter.build(Seq(PageSpec(textBlocks = Seq("secret"))))
     val enc = PdfWriter.encryptStandard(clear, "aesv3-r6")
