@@ -241,18 +241,20 @@ object CorpusPipeline {
     // cleaned docs concatenated in a deterministic order and chopped
     // into fixed --window-token training sequences — the padding-free
     // alternative to per-doc windows. Order key = md5(url) (urls are
-    // not dense ids, so the q75 doc_id buckets become the md5's first
-    // byte — 256 buckets that PARTITION the order); offsets come from
-    // the same two-level distributed prefix sum (per-bucket totals →
-    // tiny global window → bucket-partitioned cumsum), then tokens
-    // regroup by global position div L. One token-level shuffle — the
-    // honest cost of materializing packed sequences.
+    // not dense ids, so the q75 doc_id buckets become the digest's
+    // first 4 hex chars — 65,536 uniformly-filled buckets that
+    // PARTITION the order: ~15M docs/bucket at the 10^12 design point,
+    // one parallel window task each, while the global window sees only
+    // the 65,536 bucket rows); offsets come from the same two-level
+    // distributed prefix sum, then tokens regroup by global position
+    // div L. One token-level shuffle — the honest cost of materializing
+    // packed sequences.
     if (a.pack) {
       import org.apache.spark.sql.expressions.Window
       val L = a.window
       val t = clean
         .withColumn("okey", md5(col("url")))
-        .withColumn("bucket", conv(substring(col("okey"), 1, 2), 16, 10).cast("long"))
+        .withColumn("bucket", conv(substring(col("okey"), 1, 4), 16, 10).cast("long"))
         .withColumn("n_toks", size(col("toks")))
       val bp = t.groupBy("bucket").agg(sum("n_toks").as("btoks"))
         .withColumn("bucket_offset", coalesce(sum("btoks").over(

@@ -67,17 +67,23 @@ object TrainOps {
     // Scale shape — the naive form is a corpus-wide ORDER BY window
     // (one reducer at 10^12 rows); this is the standard DISTRIBUTED
     // PREFIX SUM instead: level 1 aggregates per-bucket token totals
-    // (64 docs/bucket → a tiny table) and runs the only unpartitioned
-    // window over THAT; level 2's intra-bucket cumsum is partitioned by
-    // bucket, so every corpus-sized shuffle/window is parallel and the
-    // bucket-offset table broadcasts.
+    // and runs the only unpartitioned window over THAT; level 2's
+    // intra-bucket cumsum is partitioned by bucket, so every
+    // corpus-sized shuffle/window is parallel and the bucket-offset
+    // table broadcasts. Bucket size is √n-adaptive: a FIXED size would
+    // blow up one side or the other at the design point (64 docs/bucket
+    // → 1.5×10^10 bucket rows through the single-reducer window at
+    // 10^12 docs); √n balances both levels at ~10^6 rows each. The
+    // count() that sizes it is parquet-footer metadata, not a scan.
     ("q75_sequence_packing",
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
+        val nDocs = tbl(s, d, "documents").count()
+        val bucketDocs = math.max(64L, math.ceil(math.sqrt(nDocs.toDouble)).toLong)
         val t = tbl(s, d, "documents")
           .withColumn("n_toks", size(tokens(col("text"))))
           .select(col("doc_id"), col("n_toks"))
-          .withColumn("bucket", expr("doc_id div 64"))
+          .withColumn("bucket", expr(s"doc_id div $bucketDocs"))
         val bucketPrefix = t.groupBy("bucket").agg(sum("n_toks").as("btoks"))
           .withColumn("bucket_offset",
             coalesce(sum("btoks").over(Window.orderBy("bucket")
