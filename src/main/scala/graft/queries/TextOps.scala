@@ -550,11 +550,15 @@ object TextOps {
     // verified with bit_count(xor). Radius 1 because this corpus
     // saturates 32-bit simhash (~31 distinct words/doc over a shared
     // vocabulary → thousands of identical signatures); a production
-    // crawl uses 64-bit simhash and radius 3 with 4 bands — same plan
-    // shape. Scale: the only shuffles carry (band_id, 16-bit band value,
-    // doc_id, 32-bit sig); buckets are band-local so no all-pairs work;
-    // output is the per-doc neighbor roll-up (count/min/max pins the
-    // pair set through three independent aggregates).
+    // crawl uses 64-bit simhash and radius 3 — same plan shape, but
+    // with the band keys WIDENED so buckets stay small at corpus scale
+    // (fixed 16-bit keys mean ~n/65536 docs per bucket; the standard
+    // fix is Manku et al. WWW'07's permuted-prefix tables keyed on
+    // 30-40 bits, which this query's band column swaps in without
+    // changing the join). Scale: the only shuffles carry (band_id,
+    // band value, doc_id, sig); buckets are band-local so no all-pairs
+    // work; output is the per-doc neighbor roll-up (count/min/max pins
+    // the pair set through three independent aggregates).
     ("q73_simhash_hamming",
       (s, d) => {
         graft.plans.GraftFunctions.ensureRegistered(s)
