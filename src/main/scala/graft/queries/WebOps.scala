@@ -197,6 +197,55 @@ object WebOps {
                (round(1.0 - CAST(len(list_distinct(tris)) AS DOUBLE) / n_tri, 6) <= 0.3) AS keep
              FROM m ORDER BY doc_id""")),
 
+    // ---- Model-based quality scoring (the CCNet/Gopher "quality
+    // classifier" curation stage — a linear model over cheap text
+    // features with a sigmoid, here with FIXED planted weights so both
+    // engines score identically; production swaps in trained weights,
+    // same plan): z = w·(n_toks, stopword_frac, alpha_frac,
+    // |mean_word_len − 5|) + b, score = σ(z). Features are the q26/q56
+    // primitives; the only cross-engine float risk is exp()'s last ulp,
+    // killed by round(…,6) BEFORE the keep threshold (both engines
+    // compare the same rounded value). Map-only at any scale; the
+    // trained-weights variant broadcasts one tiny weight vector.
+    ("q76_quality_classifier",
+      (s, d) => {
+        val t = docToksPub(s, d)
+          .withColumn("n_toks", size(col("toks")))
+          .where(col("n_toks") > 0)
+          .withColumn("stop_frac",
+            size(regexp_extract_all(lower(col("text")),
+              lit("\\b(the|and|of|to|a)\\b"), lit(0))).cast("double") / col("n_toks"))
+          .withColumn("alpha_frac",
+            size(filter(col("toks"), x => x.rlike("[a-z]"))).cast("double") /
+              col("n_toks"))
+          .withColumn("mwl",
+            aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+              col("n_toks"))
+          .withColumn("z",
+            lit(-3.0) + lit(0.01) * col("n_toks") + lit(8.0) * col("stop_frac") +
+              lit(2.0) * col("alpha_frac") - lit(0.5) * abs(col("mwl") - lit(5.0)))
+          .withColumn("score", round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6))
+        t.select(col("doc_id"), col("n_toks"),
+            round(col("stop_frac"), 6).as("stop_frac"),
+            col("score"), (col("score") >= 0.5).as("keep"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             f AS (SELECT doc_id, len(toks) AS n_toks,
+                     CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|a)\b')) AS DOUBLE) / len(toks) AS stop_frac,
+                     CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE) / len(toks) AS alpha_frac,
+                     CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks) AS mwl
+                   FROM t WHERE len(toks) > 0),
+             z AS (SELECT doc_id, n_toks, stop_frac,
+                     -3.0 + 0.01 * n_toks + 8.0 * stop_frac + 2.0 * alpha_frac
+                       - 0.5 * abs(mwl - 5.0) AS z
+                   FROM f)
+             SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+               round(stop_frac, 6) AS stop_frac,
+               round(1.0 / (1.0 + exp(-z)), 6) AS score,
+               (round(1.0 / (1.0 + exp(-z)), 6) >= 0.5) AS keep
+             FROM z ORDER BY doc_id""")),
+
     // ---- Compression-ratio quality signal (standard curation feature:
     // text that deflates too well is repetitive/templated — a
     // complement to q61's explicit trigram measure, catching repeats at

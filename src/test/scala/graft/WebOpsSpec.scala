@@ -74,4 +74,25 @@ class WebOpsSpec extends SparkSuite {
     assert(known(1L) > 2 * known(0L), s"varied ${known(1L)} vs repetitive ${known(0L)}")
     assert(known(0L) < 0.35 && known(1L) > 0.0)
   }
+
+  test("q76: sigmoid scores bounded, keep matches threshold, stopword signal separates") {
+    val rows = SparkEntry.queries("q76_quality_classifier")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("stop_frac"),
+        r.getAs[Double]("score"), r.getAs[Boolean]("keep")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (d, sfr, sc, k) =>
+      assert(sc > 0.0 && sc < 1.0, s"doc $d score $sc")
+      assert(k == (sc >= 0.5), s"doc $d keep")
+      assert(sfr >= 0.0 && sfr <= 1.0)
+    }
+    // The classifier must actually separate (both verdicts present) and
+    // stopword-bearing (English-looking) docs must score higher on
+    // average than stopword-free ones — the signal the weights encode.
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+    val (withStop, noStop) = rows.partition(_._2 > 0.0)
+    assert(withStop.nonEmpty && noStop.nonEmpty)
+    val avg = (xs: Array[(Long, Double, Double, Boolean)]) =>
+      xs.map(_._3).sum / xs.length
+    assert(avg(withStop) > avg(noStop))
+  }
 }
