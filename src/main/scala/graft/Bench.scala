@@ -120,8 +120,20 @@ object Bench {
     */
   private final class HostProbe {
     private val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    // Memory-bandwidth samples: one 16 MB arraycopy unit per 8 ALU
+    // units (~2 ms against ~160 ms of ALU work — low duty so the probe
+    // itself does not steal bandwidth from the bandwidth-bound job it
+    // observes). The ALU probe alone cannot see the stall class that
+    // actually hits this box (round-4 measured a one-sided 76 s job rep
+    // under a FLAT ALU probe — memory channels, not cores, were
+    // contended); the copy probe makes that failure mode
+    // machine-readable instead of narrative.
+    private val copySamples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
     @volatile private var running = true
     private val t = new Thread(() => {
+      val src = new Array[Byte](16 << 20)
+      val dst = new Array[Byte](16 << 20)
+      var unit = 0
       while (running) {
         val t0 = System.nanoTime()
         var x = 0x9e3779b97f4a7c15L
@@ -129,21 +141,32 @@ object Bench {
         while (i < 6000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
         probeSink = x
         samples.add((System.nanoTime() - t0) / 1e9)
+        unit += 1
+        if (unit % 8 == 0) {
+          val c0 = System.nanoTime()
+          System.arraycopy(src, 0, dst, 0, src.length)
+          probeSink ^= dst(0)
+          copySamples.add((System.nanoTime() - c0) / 1e9)
+        }
       }
     }, "graft-bench-probe")
     t.setDaemon(true)
     def start(): HostProbe = { t.start(); this }
-    /** Stop and return the median unit time (JIT-warmup samples dropped). */
-    def stop(): Double = {
+    /** Stop and return (ALU median, copy median) unit times
+      * (JIT/page-fault warmup samples dropped).
+      */
+    def stop(): (Double, Double) = {
       running = false
       t.join(2000)
       import scala.jdk.CollectionConverters._
       val xs = samples.iterator().asScala.map(_.doubleValue).toVector.drop(2)
-      if (xs.isEmpty) Double.NaN else median(xs)
+      val cs = copySamples.iterator().asScala.map(_.doubleValue).toVector.drop(1)
+      (if (xs.isEmpty) Double.NaN else median(xs),
+       if (cs.isEmpty) Double.NaN else median(cs))
     }
   }
 
-  private case class Rep(secs: Double, probe: Double)
+  private case class Rep(secs: Double, probe: Double, copyProbe: Double)
 
   /** All `reps` measurements per parallelism level, interleaved
     * (lo,hi,lo,hi,…) so noisy-neighbor host drift hits both levels
@@ -188,10 +211,11 @@ object Bench {
         try {
           val probe = new HostProbe().start()
           val secs = f(s)
-          val probeMed = probe.stop()
+          val (probeMed, copyMed) = probe.stop()
           System.err.println(
-            f"[bench] $label local[$k] rep$r: $secs%.3f s (probe $probeMed%.4f s/unit)")
-          all(k) = all(k) :+ Rep(secs, probeMed)
+            f"[bench] $label local[$k] rep$r: $secs%.3f s " +
+              f"(probe $probeMed%.4f, copy $copyMed%.4f s/unit)")
+          all(k) = all(k) :+ Rep(secs, probeMed, copyMed)
         } finally s.stop()
       }
     }
@@ -270,19 +294,32 @@ object Bench {
     // at least one clean rep (best-of then reads from clean windows);
     // `valid:false` marks the efficiencies as untrustworthy — rerun.
     val stallFactor = 1.4
-    val allProbes = (kernelPhase.toSeq ++ jobPhase.toSeq)
-      .flatMap(_.measured.values).flatten
-      .map(_.probe).filterNot(_.isNaN).toVector
+    val allReps = (kernelPhase.toSeq ++ jobPhase.toSeq)
+      .flatMap(_.measured.values).flatten.toVector
+    val allProbes = allReps.map(_.probe).filterNot(_.isNaN)
     val minProbe = if (allProbes.isEmpty) Double.NaN else allProbes.min
+    val allCopy = allReps.map(_.copyProbe).filterNot(_.isNaN)
+    val minCopy = if (allCopy.isEmpty) Double.NaN else allCopy.min
     def isStalled(r: Rep): Boolean =
       !r.probe.isNaN && !minProbe.isNaN && r.probe > stallFactor * minProbe
+    // Bandwidth stall: copy unit far above the run's cleanest window
+    // while the ALU probe stayed flat — the contention class that slows
+    // the write-heavy job invisibly to a CPU probe. Informational (the
+    // probe itself shares channels with 16 workers, so its variance is
+    // higher than the ALU unit's); `valid` stays ALU-based.
+    def isBwStalled(r: Rep): Boolean =
+      !r.copyProbe.isNaN && !minCopy.isNaN && r.copyProbe > 1.5 * minCopy
     def stalledCount(p: Option[Phase]): Int =
       p.map(_.measured.values.flatten.count(isStalled)).getOrElse(0)
+    def bwStalledCount(p: Option[Phase]): Int =
+      p.map(_.measured.values.flatten.count(isBwStalled)).getOrElse(0)
     def levelsClean(p: Option[Phase]): Boolean =
       p.forall(_.measured.forall { case (_, v) => v.exists(r => !isStalled(r)) })
     val benchValid = levelsClean(kernelPhase) && levelsClean(jobPhase)
-    System.err.println(f"[bench] probe min ${minProbe}%.4f s/unit; stalled reps: " +
-      s"kernel=${stalledCount(kernelPhase)} job=${stalledCount(jobPhase)} valid=$benchValid")
+    System.err.println(f"[bench] probe min ${minProbe}%.4f s/unit (copy ${minCopy}%.4f); " +
+      s"stalled reps: kernel=${stalledCount(kernelPhase)} job=${stalledCount(jobPhase)} " +
+      s"bw-stalled: kernel=${bwStalledCount(kernelPhase)} job=${bwStalledCount(jobPhase)} " +
+      s"valid=$benchValid")
 
     // ---- Realistic-document-size throughput: articles scaled ~40× (to
     // ~10-30 KB — crawl-like), reported in docs/sec AND MB/s of raw
@@ -342,13 +379,16 @@ object Bench {
           m(k).map(r => f"${r.secs}%.3f").mkString("[", ",", "]")
         def probesJson(k: Int) =
           m(k).map(r => if (r.probe.isNaN) "null" else f"${r.probe}%.4f").mkString("[", ",", "]")
+        def copyProbesJson(k: Int) =
+          m(k).map(r => if (r.copyProbe.isNaN) "null" else f"${r.copyProbe}%.4f").mkString("[", ",", "]")
         def warmJson(k: Int) = ph.warmup.get(k).map(w => f"$w%.3f").getOrElse("null")
         f""""${name}_rows":$rows,"${name}_local${loN}_secs":${best(loN)}%.3f,"${name}_local${loN}_docs_per_sec":${thr(rows, best(loN))}%.1f,""" +
         f""""${name}_local${hiN}_secs":${best(hiN)}%.3f,"${name}_local${hiN}_docs_per_sec":${thr(rows, best(hiN))}%.1f,""" +
         f""""${name}_scaling_efficiency":$eff%.3f,"${name}_scaling_efficiency_median_pair":$effMed%.3f,""" +
         f""""${name}_warmup_local$loN":${warmJson(loN)},"${name}_warmup_local$hiN":${warmJson(hiN)},""" +
         f""""${name}_reps_local$loN":${repsJson(loN)},"${name}_reps_local$hiN":${repsJson(hiN)},""" +
-        f""""${name}_probe_local$loN":${probesJson(loN)},"${name}_probe_local$hiN":${probesJson(hiN)},"""
+        f""""${name}_probe_local$loN":${probesJson(loN)},"${name}_probe_local$hiN":${probesJson(hiN)},""" +
+        f""""${name}_copyprobe_local$loN":${copyProbesJson(loN)},"${name}_copyprobe_local$hiN":${copyProbesJson(hiN)},"""
     }
     println(
       f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$storage"extraction":{""" +
@@ -356,7 +396,10 @@ object Bench {
       phaseJson("job", jobPhase, jobRows) +
       (if (minProbe.isNaN) """"probe":{"valid":true,"note":"no probe samples"}"""
        else f""""probe":{"min_unit_secs":$minProbe%.4f,"stall_factor":$stallFactor%.1f,""" +
-         f""""kernel_stalled_reps":${stalledCount(kernelPhase)},"job_stalled_reps":${stalledCount(jobPhase)},"valid":$benchValid}""") +
+         f""""kernel_stalled_reps":${stalledCount(kernelPhase)},"job_stalled_reps":${stalledCount(jobPhase)},""" +
+         (if (minCopy.isNaN) "" else
+           f""""copy_min_unit_secs":$minCopy%.4f,"kernel_bw_stalled_reps":${bwStalledCount(kernelPhase)},"job_bw_stalled_reps":${bwStalledCount(jobPhase)},""") +
+         f""""valid":$benchValid}""") +
       bigdoc.map { case (bytes, secs, dps) =>
         f""","bigdoc":{"rows":$bigRows,"para_scale":40,"payload_mb":${bytes / 1e6}%.1f,"secs":$secs%.3f,"docs_per_sec":$dps%.1f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}"""
       }.getOrElse("") +
