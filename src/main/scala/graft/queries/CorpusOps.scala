@@ -260,6 +260,54 @@ object CorpusOps {
                     GROUP BY doc_id)
              SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
                     round(-ll / n_bigrams, 6) AS cross_entropy
-             FROM sc ORDER BY doc_id"""))
+             FROM sc ORDER BY doc_id""")),
+
+    // ---- Corpus length-distribution statistics: per-language
+    // decimal-magnitude histogram (mag = number of digits of n_chars —
+    // an integer-exact bucket, immune to the float-log2 ulp drift a
+    // log-bucket would risk cross-engine) with within-language share,
+    // plus discrete p50/p90 char-length quantiles selected by exact
+    // rank (value at row_number == ceil(q·n), the type-stable discrete
+    // quantile both engines compute identically — no interpolation).
+    // The histogram is algebraic two-level agg (map-side partials); the
+    // quantile needs one per-language sort, which at 10^12 rows is
+    // replaced by a mergeable sketch (t-digest / percentile_approx) —
+    // this exact form is the oracle-checkable reference semantics.
+    ("q78_length_stats",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"),
+            length(col("n_chars").cast("string")).as("mag"))
+        val hist = docs.groupBy("lang", "mag").agg(count(lit(1)).as("n_docs"))
+        val tot = docs.groupBy("lang").agg(count(lit(1)).as("n_lang"),
+          ceil(count(lit(1)) * 0.5).as("r50"), ceil(count(lit(1)) * 0.9).as("r90"))
+        val rk = docs.withColumn("rn",
+          row_number().over(Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))))
+        val qs = rk.join(tot, Seq("lang"))
+          .groupBy("lang")
+          .agg(max(when(col("rn") === col("r50"), col("n_chars"))).as("p50_chars"),
+               max(when(col("rn") === col("r90"), col("n_chars"))).as("p90_chars"))
+        hist.join(tot.select("lang", "n_lang"), Seq("lang")).join(qs, Seq("lang"))
+          .select(col("lang"), col("mag"), col("n_docs"),
+            round(col("n_docs").cast("double") / col("n_lang"), 6).as("share"),
+            col("p50_chars"), col("p90_chars"))
+          .orderBy("lang", "mag")
+      },
+      Some("""WITH d AS (SELECT lang, n_chars, doc_id,
+               length(CAST(n_chars AS VARCHAR)) AS mag FROM documents),
+             hist AS (SELECT lang, mag, count(*) AS n_docs FROM d GROUP BY 1,2),
+             tot AS (SELECT lang, count(*) AS n_lang,
+               ceil(count(*) * 0.5) AS r50, ceil(count(*) * 0.9) AS r90 FROM d GROUP BY 1),
+             rk AS (SELECT lang, n_chars,
+               row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn FROM d),
+             qs AS (SELECT rk.lang,
+               max(CASE WHEN rn = r50 THEN n_chars END) AS p50_chars,
+               max(CASE WHEN rn = r90 THEN n_chars END) AS p90_chars
+             FROM rk JOIN tot USING (lang) GROUP BY rk.lang)
+             SELECT hist.lang, CAST(mag AS INT) AS mag, CAST(n_docs AS BIGINT) AS n_docs,
+               round(n_docs * 1.0 / n_lang, 6) AS share, p50_chars, p90_chars
+             FROM hist JOIN tot USING (lang) JOIN qs USING (lang)
+             ORDER BY lang, mag"""))
   )
 }

@@ -377,6 +377,51 @@ object Relational {
       Some("""SELECT o_orderpriority,
              CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
              CAST(count(*) AS BIGINT) AS n_orders
-             FROM orders GROUP BY 1 ORDER BY 1"""))
+             FROM orders GROUP BY 1 ORDER BY 1""")),
+
+    // ---- Salt-replicate skew join: enrich each crawl row with its
+    // host's aggregate stats when one host dominates the key
+    // distribution (planted: host 0 carries ~52% of docs — the
+    // crawl-reality Zipf head). The classic manual skew recipe for a
+    // shuffled large⋈large join: the probe side adds
+    // salt = hash(row) mod S, the build side replicates each key S×
+    // (explode), and the join key becomes (host, salt) so the hot
+    // host's rows spread over S reducers instead of one straggler
+    // task. Complements q47 (salted AGGREGATION) and AQE's runtime
+    // skew split (which only fires on sort-merge joins above
+    // per-partition thresholds; the manual salt also covers
+    // shuffled-hash and pre-AQE static plans). Oracle = the plain
+    // unsalted join, proving salting is semantics-preserving.
+    ("q79_salted_skew_join",
+      (s, d) => {
+        val S = 8
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            when(col("doc_id") % 2 === 0, lit(0L))
+              .otherwise(col("doc_id") % 25).as("host_id"))
+        val stats = docs.groupBy("host_id")
+          .agg(count(lit(1)).as("host_docs"), sum("n_chars").as("host_chars"))
+        val statsSalted = stats
+          .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+        val salted = docs
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(S.toLong)).cast("int"))
+        // Pin the sort-merge shape the technique targets: in the real
+        // scenario both sides are crawl-scale, so broadcast is off the
+        // table — without the hint, Catalyst (correctly) broadcasts one
+        // side at sandbox row counts and the demonstrated plan would
+        // not be the one that needs salting.
+        salted.join(statsSalted.hint("merge"), Seq("host_id", "salt"))
+          .select(col("doc_id"), col("host_id"), col("host_docs"), col("host_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (SELECT doc_id, n_chars,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 25 END AS host_id
+             FROM documents),
+             st AS (SELECT host_id, count(*) AS host_docs,
+               sum(n_chars) AS host_chars FROM d GROUP BY 1)
+             SELECT d.doc_id, CAST(d.host_id AS BIGINT) AS host_id,
+               CAST(st.host_docs AS BIGINT) AS host_docs,
+               CAST(st.host_chars AS BIGINT) AS host_chars
+             FROM d JOIN st USING (host_id) ORDER BY doc_id"""))
   )
 }

@@ -246,6 +246,42 @@ object WebOps {
                (round(1.0 / (1.0 + exp(-z)), 6) >= 0.5) AS keep
              FROM z ORDER BY doc_id""")),
 
+    // ---- URL-revisit dedup: Common Crawl refetches popular pages
+    // every snapshot, so a crawl table carries many (url, warc_ts)
+    // rows per page — the curation step keeps only the NEWEST snapshot
+    // per canonical url (cf. CC's `revisit` record type / CDX dedup).
+    // Planted (url, ts) from doc_id, q54-pattern. Expressed as a plain
+    // aggregation with max_by — algebraic, so it map-side-combines and
+    // never materializes the per-url snapshot list (the window/
+    // row_number formulation q07 uses would sort every group). One
+    // shuffle on url; at 10^12 rows hot urls are rare (revisit counts
+    // are bounded by crawl frequency) so no salting is needed —
+    // AQE's skew split covers pathological hosts.
+    ("q77_url_revisit",
+      (s, d) => {
+        val urlKey = col("doc_id") % 120
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            concat(lit("https://site"), urlKey % 7, lit(".com/page/"), urlKey).as("url"),
+            (lit(1600000000L) + (col("doc_id") * 7919) % 100000).as("ts_s"))
+          .groupBy("url")
+          .agg(count(lit(1)).as("n_snapshots"),
+            max_by(col("doc_id"), col("ts_s")).as("kept_doc_id"),
+            min("ts_s").as("first_ts_s"),
+            max("ts_s").as("last_ts_s"))
+          .orderBy("url")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+               'https://site' || ((doc_id % 120) % 7) || '.com/page/' || (doc_id % 120) AS url,
+               1600000000 + (doc_id * 7919) % 100000 AS ts_s
+             FROM documents)
+             SELECT url,
+               CAST(count(*) AS BIGINT) AS n_snapshots,
+               arg_max(doc_id, ts_s) AS kept_doc_id,
+               CAST(min(ts_s) AS BIGINT) AS first_ts_s,
+               CAST(max(ts_s) AS BIGINT) AS last_ts_s
+             FROM u GROUP BY url ORDER BY url""")),
+
     // ---- Compression-ratio quality signal (standard curation feature:
     // text that deflates too well is repetitive/templated — a
     // complement to q61's explicit trigram measure, catching repeats at

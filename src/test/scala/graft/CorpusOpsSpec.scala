@@ -87,4 +87,26 @@ class CorpusOpsSpec extends SparkSuite {
     assert(rows.filter(_.getAs[Long]("covered") > 0)
       .map(_.getAs[Long]("doc_id")).toSet == dupDocs)
   }
+
+  test("q78: histogram shares sum to 1 per language; quantiles sit at exact ranks") {
+    val rows = SparkEntry.queries("q78_length_stats")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      // shares within a language sum to 1 (up to the 6dp rounding)
+      val shareSum = rs.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-4, s"$lang shares sum $shareSum")
+      // quantile columns are constant per language and ordered
+      assert(rs.map(_.getAs[Long]("p50_chars")).distinct.length == 1)
+      val (p50, p90) = (rs.head.getAs[Long]("p50_chars"), rs.head.getAs[Long]("p90_chars"))
+      assert(p50 <= p90)
+      // discrete quantile = value at rank ceil(q*n) of the sorted lengths
+      val sorted = docs.filter(_._1 == lang).map(_._2).sorted
+      assert(p50 == sorted(math.ceil(sorted.length * 0.5).toInt - 1))
+      assert(p90 == sorted(math.ceil(sorted.length * 0.9).toInt - 1))
+    }
+  }
 }

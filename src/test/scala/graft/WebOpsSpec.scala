@@ -95,4 +95,25 @@ class WebOpsSpec extends SparkSuite {
       xs.map(_._3).sum / xs.length
     assert(avg(withStop) > avg(noStop))
   }
+
+  test("q77: revisit dedup keeps exactly the newest snapshot per url") {
+    // sf0.01 so the planted url keys actually collide into revisit
+    // groups (sf0.001 has < 120 docs — every group would be size 1).
+    val d1 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q77_url_revisit")(spark, d1).collect()
+    val nDocs = spark.read.parquet(s"$d1/documents.parquet").count()
+    assert(rows.nonEmpty && rows.length < nDocs, "planted keys must collide")
+    // Every source row lands in exactly one url group.
+    assert(rows.map(_.getAs[Long]("n_snapshots")).sum == nDocs)
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("kept_doc_id")
+      val first = r.getAs[Long]("first_ts_s")
+      val last = r.getAs[Long]("last_ts_s")
+      assert(first <= last)
+      // The kept doc's planted timestamp IS the group max — recomputed
+      // here from the planting formula, independent of the query.
+      assert(1600000000L + (kept * 7919) % 100000 == last,
+        s"kept_doc_id ${kept} is not the newest snapshot of ${r.getString(0)}")
+    }
+  }
 }
