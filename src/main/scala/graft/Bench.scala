@@ -375,6 +375,19 @@ object Bench {
         val best = m.view.mapValues(_.map(_.secs).min).toMap
         val eff = bestEfficiency(m(loN).map(_.secs), m(hiN).map(_.secs), hiN.toDouble / loN)
         val effMed = pairEfficiency(m(loN).map(_.secs), m(hiN).map(_.secs), hiN.toDouble / loN)
+        // Probe-FILTERED median-pair: only pairs where neither side's
+        // concurrent probe saw an ALU or copy-bandwidth stall. The raw
+        // median-pair is biased DOWN whenever interference hits one
+        // side of a pair (observed: a bandwidth hit invisible to the
+        // ALU probe dragged a job median-pair to 0.47 while best-of
+        // read 0.83); this estimator excludes exactly the reps the
+        // probes flagged, machine-readably. Null when no pair is clean.
+        val cleanPairs = m(loN).zip(m(hiN)).filterNot { case (l, h) =>
+          isStalled(l) || isStalled(h) || isBwStalled(l) || isBwStalled(h)
+        }
+        val effClean =
+          if (cleanPairs.isEmpty) "null"
+          else f"${median(cleanPairs.map { case (l, h) => (l.secs / h.secs) / (hiN.toDouble / loN) })}%.3f"
         def repsJson(k: Int) =
           m(k).map(r => f"${r.secs}%.3f").mkString("[", ",", "]")
         def probesJson(k: Int) =
@@ -385,6 +398,7 @@ object Bench {
         f""""${name}_rows":$rows,"${name}_local${loN}_secs":${best(loN)}%.3f,"${name}_local${loN}_docs_per_sec":${thr(rows, best(loN))}%.1f,""" +
         f""""${name}_local${hiN}_secs":${best(hiN)}%.3f,"${name}_local${hiN}_docs_per_sec":${thr(rows, best(hiN))}%.1f,""" +
         f""""${name}_scaling_efficiency":$eff%.3f,"${name}_scaling_efficiency_median_pair":$effMed%.3f,""" +
+        s""""${name}_scaling_efficiency_clean_pairs":$effClean,"${name}_clean_pair_count":${cleanPairs.size},""" +
         f""""${name}_warmup_local$loN":${warmJson(loN)},"${name}_warmup_local$hiN":${warmJson(hiN)},""" +
         f""""${name}_reps_local$loN":${repsJson(loN)},"${name}_reps_local$hiN":${repsJson(hiN)},""" +
         f""""${name}_probe_local$loN":${probesJson(loN)},"${name}_probe_local$hiN":${probesJson(hiN)},""" +
