@@ -166,7 +166,47 @@ object Bench {
     }
   }
 
-  private case class Rep(secs: Double, probe: Double, copyProbe: Double)
+  /** Multi-core host-supply snapshot: `threads` concurrent fixed ALU
+    * units (~7 ms each), returning aggregate units/sec. Runs BETWEEN
+    * reps (~0.3 s), never concurrently with one, so it cannot perturb a
+    * measurement. This is the stall class the single-thread probes are
+    * BLIND to: a co-tenant saturating most of the box slows a 16-thread
+    * job severely and a 4-thread job mildly while a 1-thread probe
+    * still gets its core on time (observed: job reps drifting 84→52 s
+    * at the SAME level under flat ALU and copy probes). A rep taken
+    * when the snapshot is far below the run's best ran against reduced
+    * parallel supply and self-identifies in the output.
+    */
+  /** Max of two back-to-back snapshots: a snapshot can only UNDER-read
+    * true capacity (scheduler jitter, a transient spike), never
+    * over-read it, so the max is the robust estimate and a genuinely
+    * contended window still reads low on both.
+    */
+  private def supplySnapshot(threads: Int): Double =
+    math.max(supplySnapshotOnce(threads), supplySnapshotOnce(threads))
+
+  private def supplySnapshotOnce(threads: Int): Double = {
+    val unitsPerThread = 40
+    val done = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      new Thread(() => {
+        var u = 0
+        while (u < unitsPerThread) {
+          var x = 0x9e3779b97f4a7c15L
+          var i = 0
+          while (i < 2000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+          probeSink = x
+          done.incrementAndGet()
+          u += 1
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    done.get / ((System.nanoTime() - t0) / 1e9)
+  }
+
+  private case class Rep(secs: Double, probe: Double, copyProbe: Double, supply: Double)
 
   /** All `reps` measurements per parallelism level, interleaved
     * (lo,hi,lo,hi,…) so noisy-neighbor host drift hits both levels
@@ -207,6 +247,7 @@ object Bench {
       // level within a pair.
       val order = if (r % 2 == 1) ks else ks.reverse
       order.foreach { k =>
+        val supply = supplySnapshot(ks.max)
         val s = session(k)
         try {
           val probe = new HostProbe().start()
@@ -214,8 +255,8 @@ object Bench {
           val (probeMed, copyMed) = probe.stop()
           System.err.println(
             f"[bench] $label local[$k] rep$r: $secs%.3f s " +
-              f"(probe $probeMed%.4f, copy $copyMed%.4f s/unit)")
-          all(k) = all(k) :+ Rep(secs, probeMed, copyMed)
+              f"(probe $probeMed%.4f, copy $copyMed%.4f s/unit, supply $supply%.1f u/s)")
+          all(k) = all(k) :+ Rep(secs, probeMed, copyMed, supply)
         } finally s.stop()
       }
     }
@@ -309,16 +350,30 @@ object Bench {
     // higher than the ALU unit's); `valid` stays ALU-based.
     def isBwStalled(r: Rep): Boolean =
       !r.copyProbe.isNaN && !minCopy.isNaN && r.copyProbe > 1.5 * minCopy
+    // Multi-core supply: a rep whose between-reps snapshot sits well
+    // below the run's best ran while a co-tenant held cores — the
+    // contention class the single-thread probes cannot see (they still
+    // get their core on time; an N-thread job does not).
+    val allSupply = allReps.map(_.supply).filterNot(_.isNaN)
+    val maxSupply = if (allSupply.isEmpty) Double.NaN else allSupply.max
+    def isSupplyLow(r: Rep): Boolean =
+      !r.supply.isNaN && !maxSupply.isNaN && r.supply < 0.75 * maxSupply
     def stalledCount(p: Option[Phase]): Int =
       p.map(_.measured.values.flatten.count(isStalled)).getOrElse(0)
     def bwStalledCount(p: Option[Phase]): Int =
       p.map(_.measured.values.flatten.count(isBwStalled)).getOrElse(0)
+    def supplyLowCount(p: Option[Phase]): Int =
+      p.map(_.measured.values.flatten.count(isSupplyLow)).getOrElse(0)
     def levelsClean(p: Option[Phase]): Boolean =
-      p.forall(_.measured.forall { case (_, v) => v.exists(r => !isStalled(r)) })
+      p.forall(_.measured.forall { case (_, v) =>
+        v.exists(r => !isStalled(r) && !isSupplyLow(r))
+      })
     val benchValid = levelsClean(kernelPhase) && levelsClean(jobPhase)
-    System.err.println(f"[bench] probe min ${minProbe}%.4f s/unit (copy ${minCopy}%.4f); " +
+    System.err.println(f"[bench] probe min ${minProbe}%.4f s/unit (copy ${minCopy}%.4f, " +
+      f"supply max ${maxSupply}%.1f u/s); " +
       s"stalled reps: kernel=${stalledCount(kernelPhase)} job=${stalledCount(jobPhase)} " +
       s"bw-stalled: kernel=${bwStalledCount(kernelPhase)} job=${bwStalledCount(jobPhase)} " +
+      s"supply-low: kernel=${supplyLowCount(kernelPhase)} job=${supplyLowCount(jobPhase)} " +
       s"valid=$benchValid")
 
     // ---- Realistic-document-size throughput: articles scaled ~40× (to
@@ -383,7 +438,8 @@ object Bench {
         // read 0.83); this estimator excludes exactly the reps the
         // probes flagged, machine-readably. Null when no pair is clean.
         val cleanPairs = m(loN).zip(m(hiN)).filterNot { case (l, h) =>
-          isStalled(l) || isStalled(h) || isBwStalled(l) || isBwStalled(h)
+          isStalled(l) || isStalled(h) || isBwStalled(l) || isBwStalled(h) ||
+            isSupplyLow(l) || isSupplyLow(h)
         }
         val effClean =
           if (cleanPairs.isEmpty) "null"
@@ -394,6 +450,8 @@ object Bench {
           m(k).map(r => if (r.probe.isNaN) "null" else f"${r.probe}%.4f").mkString("[", ",", "]")
         def copyProbesJson(k: Int) =
           m(k).map(r => if (r.copyProbe.isNaN) "null" else f"${r.copyProbe}%.4f").mkString("[", ",", "]")
+        def supplyJson(k: Int) =
+          m(k).map(r => if (r.supply.isNaN) "null" else f"${r.supply}%.1f").mkString("[", ",", "]")
         def warmJson(k: Int) = ph.warmup.get(k).map(w => f"$w%.3f").getOrElse("null")
         f""""${name}_rows":$rows,"${name}_local${loN}_secs":${best(loN)}%.3f,"${name}_local${loN}_docs_per_sec":${thr(rows, best(loN))}%.1f,""" +
         f""""${name}_local${hiN}_secs":${best(hiN)}%.3f,"${name}_local${hiN}_docs_per_sec":${thr(rows, best(hiN))}%.1f,""" +
@@ -402,7 +460,8 @@ object Bench {
         f""""${name}_warmup_local$loN":${warmJson(loN)},"${name}_warmup_local$hiN":${warmJson(hiN)},""" +
         f""""${name}_reps_local$loN":${repsJson(loN)},"${name}_reps_local$hiN":${repsJson(hiN)},""" +
         f""""${name}_probe_local$loN":${probesJson(loN)},"${name}_probe_local$hiN":${probesJson(hiN)},""" +
-        f""""${name}_copyprobe_local$loN":${copyProbesJson(loN)},"${name}_copyprobe_local$hiN":${copyProbesJson(hiN)},"""
+        f""""${name}_copyprobe_local$loN":${copyProbesJson(loN)},"${name}_copyprobe_local$hiN":${copyProbesJson(hiN)},""" +
+        f""""${name}_supply_local$loN":${supplyJson(loN)},"${name}_supply_local$hiN":${supplyJson(hiN)},"""
     }
     println(
       f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$storage"extraction":{""" +
@@ -413,6 +472,8 @@ object Bench {
          f""""kernel_stalled_reps":${stalledCount(kernelPhase)},"job_stalled_reps":${stalledCount(jobPhase)},""" +
          (if (minCopy.isNaN) "" else
            f""""copy_min_unit_secs":$minCopy%.4f,"kernel_bw_stalled_reps":${bwStalledCount(kernelPhase)},"job_bw_stalled_reps":${bwStalledCount(jobPhase)},""") +
+         (if (maxSupply.isNaN) "" else
+           f""""supply_max_units_per_sec":$maxSupply%.1f,"kernel_supply_low_reps":${supplyLowCount(kernelPhase)},"job_supply_low_reps":${supplyLowCount(jobPhase)},""") +
          f""""valid":$benchValid}""") +
       bigdoc.map { case (bytes, secs, dps) =>
         f""","bigdoc":{"rows":$bigRows,"para_scale":40,"payload_mb":${bytes / 1e6}%.1f,"secs":$secs%.3f,"docs_per_sec":$dps%.1f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}"""

@@ -217,6 +217,43 @@ object TrainOps {
                coalesce(h.n_shared, 0) > 0 AS contaminated
              FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) s
              LEFT JOIN hits h USING (doc_id)
-             ORDER BY doc_id"""))
+             ORDER BY doc_id""")),
+
+    // ---- Per-host document cap (RefinedWeb/C4-style domain balancing):
+    // at most K docs per host, selected by deterministic md5 rank so
+    // the "sample" is reproducible across runs and engines — the quota
+    // complement of q58's RATE-based Bernoulli sampling (a rate can't
+    // bound a mega-host's absolute contribution; a cap can't express
+    // per-language proportions — pipelines run both). Planted hosts
+    // with a Zipf head (host h0 carries ~1/3 of docs). One shuffle on
+    // host for the rank window. 10^12-scale note: a global per-host
+    // sort is wasteful when K ≪ host size — production replaces the
+    // window with an algebraic per-partition top-K partial (each map
+    // task keeps its K smallest (rank_key, doc) pairs per host, the
+    // reduce side merges ≤ K·partitions candidates), same semantics,
+    // no full sort; AQE skew-split covers the hot host either way.
+    ("q80_host_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 10
+        tbl(s, d, "documents")
+          .withColumn("host",
+            concat(lit("h"), when(col("doc_id") % 3 === 0, lit(0L))
+              .otherwise(col("doc_id") % 40)))
+          .withColumn("rk_key", md5(col("doc_id").cast("string")))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("host").orderBy(col("rk_key"), col("doc_id"))))
+          .select(col("doc_id"), col("host"), col("rk"), (col("rk") <= k).as("kept"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+               'h' || (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 40 END) AS host,
+               md5(CAST(doc_id AS VARCHAR)) AS rk_key
+             FROM documents),
+             r AS (SELECT doc_id, host,
+               CAST(row_number() OVER (PARTITION BY host ORDER BY rk_key, doc_id) AS INT) AS rk
+             FROM t)
+             SELECT doc_id, host, rk, (rk <= 10) AS kept
+             FROM r ORDER BY doc_id"""))
   )
 }

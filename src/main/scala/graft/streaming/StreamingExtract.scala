@@ -136,6 +136,60 @@ object StreamingExtract {
       .start()
   }
 
+  /** Per-url revisit state: one fixed-size record per distinct url. */
+  final case class SnapshotState(n: Long, keptDoc: Long, keptTs: Long, firstTs: Long)
+
+  /** Streaming URL-revisit dedup — the incremental twin of the batch
+    * q77 operator (queries.WebOps): a crawl feed delivers multiple
+    * snapshots of the same url across micro-batches, and each trigger
+    * emits the url's current NEWEST snapshot (max by (ts, doc_id) —
+    * lexicographic, so ties are deterministic) plus snapshot counters.
+    * The fold is a commutative monoid (count/max/min), so arrival order
+    * across files and batches cannot change the final answer — no
+    * watermark or event-time buffering is needed, unlike
+    * sessionizeStream whose fold is order-sensitive. State is one
+    * fixed-size record per DISTINCT url; at 10^12 urls that is the
+    * RocksDB state-store deployment, or the persistent-table pattern
+    * (queries.SignatureStore) once the url set outgrows streaming
+    * state.
+    */
+  def latestSnapshotStream(
+      spark: SparkSession,
+      inputDir: String,
+      tableName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import spark.implicits._
+    val reader = spark.readStream
+      .schema("doc_id LONG, url STRING, ts_s LONG")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val snaps = reader.parquet(inputDir).as[(Long, String, Long)]
+
+    def update(url: String, rows: Iterator[(Long, String, Long)],
+        state: GroupState[SnapshotState]): (String, Long, Long, Long, Long) = {
+      val init = state.getOption
+        .getOrElse(SnapshotState(0L, Long.MinValue, Long.MinValue, Long.MaxValue))
+      val next = rows.foldLeft(init) { case (a, (doc, _, ts)) =>
+        val takes = ts > a.keptTs || (ts == a.keptTs && doc > a.keptDoc)
+        SnapshotState(a.n + 1,
+          if (takes) doc else a.keptDoc,
+          if (takes) ts else a.keptTs,
+          math.min(a.firstTs, ts))
+      }
+      state.update(next)
+      (url, next.n, next.keptDoc, next.firstTs, next.keptTs)
+    }
+
+    snaps.groupByKey(_._2)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+      .toDF("url", "n_snapshots", "kept_doc_id", "first_ts_s", "last_ts_s")
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Update)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming dedup output row: extraction output + the content hash it
     * was deduplicated on (md5 of extracted text — 128 bits so hash
     * collisions are negligible even at 10^12 documents; a 64-bit key

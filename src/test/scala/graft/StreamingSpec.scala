@@ -172,4 +172,42 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming url-revisit dedup equals the batch q77 semantics across micro-batches") {
+    import org.apache.spark.sql.functions._
+    val in = tmpDir("snap_in")
+    // The q77 planting (url ~ doc_id % 120, injective ts) over 500 ids,
+    // split into 3 source files and forced into one-file micro-batches
+    // so revisit groups genuinely straddle batch boundaries.
+    val urlKey = col("id") % 120
+    val planted = spark.range(0, 500).select(
+      col("id").as("doc_id"),
+      concat(lit("https://site"), urlKey % 7, lit(".com/page/"), urlKey).as("url"),
+      (lit(1600000000L) + (col("id") * 7919) % 100000).as("ts_s"))
+    Seq(col("doc_id") % 3 === 0, col("doc_id") % 3 === 1, col("doc_id") % 3 === 2)
+      .foreach(p => planted.where(p).coalesce(1).write.mode("append").parquet(in))
+
+    graft.streaming.StreamingExtract
+      .latestSnapshotStream(spark, in, "snap_tbl", maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+
+    // Update-mode memory sink: each url's FINAL emission has its max
+    // (monotone) n_snapshots — select it per url.
+    val streamed = spark.table("snap_tbl")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("url")
+          .orderBy(col("n_snapshots").desc)))
+      .where(col("rn") === 1).drop("rn")
+      .select("url", "n_snapshots", "kept_doc_id", "first_ts_s", "last_ts_s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    val batch = planted.groupBy("url")
+      .agg(count(lit(1)).as("n_snapshots"),
+        max_by(col("doc_id"), col("ts_s")).as("kept_doc_id"),
+        min("ts_s").as("first_ts_s"), max("ts_s").as("last_ts_s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(streamed.length == 120)
+    assert(streamed.sameElements(batch))
+  }
 }

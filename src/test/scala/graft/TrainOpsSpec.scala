@@ -92,4 +92,22 @@ class TrainOpsSpec extends SparkSuite {
     assert(ws.forall(_ > 0))
     assert(math.abs(ws.sum - 1.0) < 1e-4, s"weights sum ${ws.sum}")
   }
+
+  test("q80: per-host cap keeps exactly min(K, host size), ranks are a 1..n permutation") {
+    val d1 = "/root/testdata/sf0.01" // enough docs that hosts exceed the cap
+    val rows = SparkEntry.queries("q80_host_cap")(spark, d1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (host, hs) =>
+      val ranks = hs.map(_._3).sorted
+      assert(ranks.sameElements(1 to hs.length), s"$host ranks not a permutation")
+      assert(hs.count(_._4) == math.min(10, hs.length), s"$host kept count")
+      hs.foreach { case (_, _, rk, kept) => assert(kept == (rk <= 10)) }
+    }
+    // The planted Zipf head actually exceeds the cap (the case the
+    // operator exists for) and some tail hosts fit entirely under it.
+    val byHost = rows.groupBy(_._2).view.mapValues(_.length)
+    assert(byHost("h0") > 100)
+    assert(byHost.values.exists(_ <= 10))
+  }
 }
