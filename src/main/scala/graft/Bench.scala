@@ -206,7 +206,34 @@ object Bench {
     done.get / ((System.nanoTime() - t0) / 1e9)
   }
 
-  private case class Rep(secs: Double, probe: Double, copyProbe: Double, supply: Double)
+  /** Aggregate cpu jiffies from /proc/stat: (user, nice, system, idle,
+    * iowait, irq, softirq, steal, …). None when the file is absent
+    * (non-Linux dev box) — every consumer degrades to NaN.
+    */
+  private def cpuStat(): Option[Array[Long]] =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try Some(src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong))
+      finally src.close()
+    } catch { case _: Throwable => None }
+
+  /** Fraction of the rep's total cpu-jiffy budget the hypervisor
+    * withheld (steal) and the box spent blocked on IO (iowait). Steal
+    * is the ground truth the probes approximate: a co-tenant burst
+    * shows up here even when it falls between supply snapshots and
+    * around the 1-thread probes (this box accrues real steal time).
+    */
+  private def statDelta(before: Option[Array[Long]], after: Option[Array[Long]]): (Double, Double) =
+    (before, after) match {
+      case (Some(b), Some(a)) if a.length >= 8 && b.length >= 8 =>
+        val d = a.zip(b).map { case (x, y) => x - y }
+        val total = d.sum.toDouble max 1.0
+        (d(7) / total, d(4) / total)
+      case _ => (Double.NaN, Double.NaN)
+    }
+
+  private case class Rep(secs: Double, probe: Double, copyProbe: Double,
+      supply: Double, stealFrac: Double, iowaitFrac: Double)
 
   /** All `reps` measurements per parallelism level, interleaved
     * (lo,hi,lo,hi,…) so noisy-neighbor host drift hits both levels
@@ -251,12 +278,15 @@ object Bench {
         val s = session(k)
         try {
           val probe = new HostProbe().start()
+          val statBefore = cpuStat()
           val secs = f(s)
+          val (stealFrac, iowaitFrac) = statDelta(statBefore, cpuStat())
           val (probeMed, copyMed) = probe.stop()
           System.err.println(
             f"[bench] $label local[$k] rep$r: $secs%.3f s " +
-              f"(probe $probeMed%.4f, copy $copyMed%.4f s/unit, supply $supply%.1f u/s)")
-          all(k) = all(k) :+ Rep(secs, probeMed, copyMed, supply)
+              f"(probe $probeMed%.4f, copy $copyMed%.4f s/unit, supply $supply%.1f u/s, " +
+              f"steal $stealFrac%.3f, iowait $iowaitFrac%.3f)")
+          all(k) = all(k) :+ Rep(secs, probeMed, copyMed, supply, stealFrac, iowaitFrac)
         } finally s.stop()
       }
     }
@@ -358,15 +388,22 @@ object Bench {
     val maxSupply = if (allSupply.isEmpty) Double.NaN else allSupply.max
     def isSupplyLow(r: Rep): Boolean =
       !r.supply.isNaN && !maxSupply.isNaN && r.supply < 0.75 * maxSupply
+    // Hypervisor steal DURING the rep — the ground-truth contention
+    // reading the point-in-time probes can miss (bursts shorter than a
+    // rep). 10% of the whole box's jiffy budget stolen ≙ ≥3 of 32
+    // hardware threads withheld for the rep's duration.
+    def isStolen(r: Rep): Boolean = !r.stealFrac.isNaN && r.stealFrac > 0.10
     def stalledCount(p: Option[Phase]): Int =
       p.map(_.measured.values.flatten.count(isStalled)).getOrElse(0)
     def bwStalledCount(p: Option[Phase]): Int =
       p.map(_.measured.values.flatten.count(isBwStalled)).getOrElse(0)
     def supplyLowCount(p: Option[Phase]): Int =
       p.map(_.measured.values.flatten.count(isSupplyLow)).getOrElse(0)
+    def stolenCount(p: Option[Phase]): Int =
+      p.map(_.measured.values.flatten.count(isStolen)).getOrElse(0)
     def levelsClean(p: Option[Phase]): Boolean =
       p.forall(_.measured.forall { case (_, v) =>
-        v.exists(r => !isStalled(r) && !isSupplyLow(r))
+        v.exists(r => !isStalled(r) && !isSupplyLow(r) && !isStolen(r))
       })
     val benchValid = levelsClean(kernelPhase) && levelsClean(jobPhase)
     System.err.println(f"[bench] probe min ${minProbe}%.4f s/unit (copy ${minCopy}%.4f, " +
@@ -439,7 +476,7 @@ object Bench {
         // probes flagged, machine-readably. Null when no pair is clean.
         val cleanPairs = m(loN).zip(m(hiN)).filterNot { case (l, h) =>
           isStalled(l) || isStalled(h) || isBwStalled(l) || isBwStalled(h) ||
-            isSupplyLow(l) || isSupplyLow(h)
+            isSupplyLow(l) || isSupplyLow(h) || isStolen(l) || isStolen(h)
         }
         val effClean =
           if (cleanPairs.isEmpty) "null"
@@ -452,6 +489,10 @@ object Bench {
           m(k).map(r => if (r.copyProbe.isNaN) "null" else f"${r.copyProbe}%.4f").mkString("[", ",", "]")
         def supplyJson(k: Int) =
           m(k).map(r => if (r.supply.isNaN) "null" else f"${r.supply}%.1f").mkString("[", ",", "]")
+        def stealJson(k: Int) =
+          m(k).map(r => if (r.stealFrac.isNaN) "null" else f"${r.stealFrac}%.4f").mkString("[", ",", "]")
+        def iowaitJson(k: Int) =
+          m(k).map(r => if (r.iowaitFrac.isNaN) "null" else f"${r.iowaitFrac}%.4f").mkString("[", ",", "]")
         def warmJson(k: Int) = ph.warmup.get(k).map(w => f"$w%.3f").getOrElse("null")
         f""""${name}_rows":$rows,"${name}_local${loN}_secs":${best(loN)}%.3f,"${name}_local${loN}_docs_per_sec":${thr(rows, best(loN))}%.1f,""" +
         f""""${name}_local${hiN}_secs":${best(hiN)}%.3f,"${name}_local${hiN}_docs_per_sec":${thr(rows, best(hiN))}%.1f,""" +
@@ -461,7 +502,9 @@ object Bench {
         f""""${name}_reps_local$loN":${repsJson(loN)},"${name}_reps_local$hiN":${repsJson(hiN)},""" +
         f""""${name}_probe_local$loN":${probesJson(loN)},"${name}_probe_local$hiN":${probesJson(hiN)},""" +
         f""""${name}_copyprobe_local$loN":${copyProbesJson(loN)},"${name}_copyprobe_local$hiN":${copyProbesJson(hiN)},""" +
-        f""""${name}_supply_local$loN":${supplyJson(loN)},"${name}_supply_local$hiN":${supplyJson(hiN)},"""
+        f""""${name}_supply_local$loN":${supplyJson(loN)},"${name}_supply_local$hiN":${supplyJson(hiN)},""" +
+        f""""${name}_steal_local$loN":${stealJson(loN)},"${name}_steal_local$hiN":${stealJson(hiN)},""" +
+        f""""${name}_iowait_local$loN":${iowaitJson(loN)},"${name}_iowait_local$hiN":${iowaitJson(hiN)},"""
     }
     println(
       f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$storage"extraction":{""" +
@@ -474,6 +517,7 @@ object Bench {
            f""""copy_min_unit_secs":$minCopy%.4f,"kernel_bw_stalled_reps":${bwStalledCount(kernelPhase)},"job_bw_stalled_reps":${bwStalledCount(jobPhase)},""") +
          (if (maxSupply.isNaN) "" else
            f""""supply_max_units_per_sec":$maxSupply%.1f,"kernel_supply_low_reps":${supplyLowCount(kernelPhase)},"job_supply_low_reps":${supplyLowCount(jobPhase)},""") +
+         f""""kernel_stolen_reps":${stolenCount(kernelPhase)},"job_stolen_reps":${stolenCount(jobPhase)},""" +
          f""""valid":$benchValid}""") +
       bigdoc.map { case (bytes, secs, dps) =>
         f""","bigdoc":{"rows":$bigRows,"para_scale":40,"payload_mb":${bytes / 1e6}%.1f,"secs":$secs%.3f,"docs_per_sec":$dps%.1f,"mb_per_sec":${bytes / 1e6 / secs}%.1f}"""

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
   *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
-  *     [--span-dedup] [--pack]
+  *     [--span-dedup] [--pack] [--host-cap K]
   */
 object CorpusPipeline {
 
@@ -41,7 +41,8 @@ object CorpusPipeline {
       quality: String = "balanced",
       cluster: Boolean = false,
       spanDedup: Boolean = false,
-      pack: Boolean = false)
+      pack: Boolean = false,
+      hostCap: Int = 0)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -59,6 +60,7 @@ object CorpusPipeline {
         case "--cluster" => a = a.copy(cluster = true); i += 1
         case "--span-dedup" => a = a.copy(spanDedup = true); i += 1
         case "--pack" => a = a.copy(pack = true); i += 1
+        case "--host-cap" => a = a.copy(hostCap = argv(i + 1).toInt); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -163,9 +165,26 @@ object CorpusPipeline {
           .where(col("node") =!= col("label"))
           .select(col("node").as("url")).distinct()
       else verified.select(col("url_b").as("url")).distinct()
-    val nearDeduped = exact.join(dropUrls, Seq("url"), "left_anti").persist()
+    val nearDeduped0 = exact.join(dropUrls, Seq("url"), "left_anti").persist()
     exact.unpersist()
-    stages += "near_dedup" -> nearDeduped.count()
+    stages += "near_dedup" -> nearDeduped0.count()
+
+    // 4.5. Per-host cap (optional, q80 shape): at most --host-cap docs
+    // per url host, chosen by deterministic md5(url) rank — RefinedWeb-
+    // style domain balancing so one mega-host can't dominate the
+    // training mix. One shuffle on host; q80's in-file note covers the
+    // algebraic top-K replacement for the window at 10^12 scale.
+    val nearDeduped = if (a.hostCap <= 0) nearDeduped0 else {
+      import org.apache.spark.sql.expressions.Window
+      val kept = nearDeduped0
+        .withColumn("host", regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("host").orderBy(md5(col("url")), col("url"))))
+        .where(col("rk") <= a.hostCap).drop("rk", "host").persist()
+      stages += "host_capped" -> kept.count()
+      nearDeduped0.unpersist()
+      kept
+    }
 
     // 5. Paragraph-span dedup (optional, q62 shape): C4's "discard all
     // but one of any span occurring more than once", at paragraph

@@ -282,6 +282,45 @@ object WebOps {
                CAST(max(ts_s) AS BIGINT) AS last_ts_s
              FROM u GROUP BY url ORDER BY url""")),
 
+    // ---- Crawl-snapshot diff: classify every url across two crawl
+    // snapshots as added / removed / changed / unchanged by full-outer
+    // join on url with content-digest comparison — the incremental-
+    // ingest primitive (process only added+changed downstream instead
+    // of re-extracting the whole crawl). Planted snapshots from doc_id
+    // (A drops ids ≡9 mod 10, B drops ≡0, content bumps when ≡0 mod 7).
+    // One shuffle per side on url; in the real deployment both snapshot
+    // tables are bucket-clustered by url hash (app.TableIO's layout),
+    // making the diff join co-located and shuffle-free.
+    ("q81_snapshot_diff",
+      (s, d) => {
+        val base = tbl(s, d, "documents").select(col("doc_id"), col("text"),
+          concat(lit("https://site"), col("doc_id") % 5, lit(".com/p"), col("doc_id")).as("url"))
+        val a = base.where(col("doc_id") % 10 =!= 9)
+          .select(col("url"), md5(col("text")).as("digest_a"))
+        val b = base.where(col("doc_id") % 10 =!= 0)
+          .select(col("url"), md5(concat(col("text"),
+            when(col("doc_id") % 7 === 0, lit(" v2")).otherwise(lit("")))).as("digest_b"))
+        a.join(b, Seq("url"), "full_outer")
+          .select(col("url"),
+            when(col("digest_a").isNull, "added")
+              .when(col("digest_b").isNull, "removed")
+              .when(col("digest_a") === col("digest_b"), "unchanged")
+              .otherwise("changed").as("status"))
+          .orderBy("url")
+      },
+      Some("""WITH base AS (SELECT doc_id, text,
+               'https://site' || (doc_id % 5) || '.com/p' || doc_id AS url FROM documents),
+             a AS (SELECT url, md5(text) AS digest_a FROM base WHERE doc_id % 10 != 9),
+             b AS (SELECT url, md5(text || CASE WHEN doc_id % 7 = 0 THEN ' v2' ELSE '' END) AS digest_b
+                   FROM base WHERE doc_id % 10 != 0)
+             SELECT coalesce(a.url, b.url) AS url,
+               CASE WHEN a.url IS NULL THEN 'added'
+                    WHEN b.url IS NULL THEN 'removed'
+                    WHEN digest_a = digest_b THEN 'unchanged'
+                    ELSE 'changed' END AS status
+             FROM a FULL OUTER JOIN b ON a.url = b.url
+             ORDER BY url""")),
+
     // ---- Compression-ratio quality signal (standard curation feature:
     // text that deflates too well is repetitive/templated — a
     // complement to q61's explicit trigram measure, catching repeats at

@@ -46,6 +46,24 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("--host-cap bounds every host's surviving docs and is a strict subset stage") {
+    import spark.implicits._
+    val out = tmpDir("cp_cap")
+    val k = 3
+    val stages = CorpusPipeline.run(spark, Args(rows = 800, out = out, hostCap = k)).toMap
+    assert(stages.contains("host_capped"))
+    assert(stages("host_capped") <= stages("near_dedup"))
+    assert(stages("host_capped") < stages("near_dedup"),
+      "PageGen's Zipf hosts must exceed a cap of 3 somewhere")
+    assert(stages("decontaminated") == stages("host_capped"))
+    // No host exceeds the cap in the shipped windows (url → host).
+    val hosts = spark.read.parquet(s"$out/training_windows")
+      .select(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1).as("host"), col("url"))
+      .distinct().groupBy("host").count().as[(String, Long)].collect()
+    assert(hosts.nonEmpty && hosts.forall(_._2 <= k),
+      s"over-cap hosts: ${hosts.filter(_._2 > k).toSeq}")
+  }
+
   test("--pack materializes fixed-length sequences that conserve every token") {
     import spark.implicits._
     val out = tmpDir("cp_pack")

@@ -116,4 +116,22 @@ class WebOpsSpec extends SparkSuite {
         s"kept_doc_id ${kept} is not the newest snapshot of ${r.getString(0)}")
     }
   }
+
+  test("q81: snapshot-diff statuses match the planting arithmetic per url") {
+    val d1 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q81_snapshot_diff")(spark, d1).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val ids = spark.read.parquet(s"$d1/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(rows.size == ids.length) // every url classified exactly once
+    ids.foreach { id =>
+      val expect =
+        if (id % 10 == 9) "added"            // absent from snapshot A
+        else if (id % 10 == 0) "removed"     // absent from snapshot B
+        else if (id % 7 == 0) "changed"      // content bumped in B
+        else "unchanged"
+      val url = s"https://site${id % 5}.com/p$id"
+      assert(rows(url) == expect, s"doc $id: ${rows(url)} != $expect")
+    }
+  }
 }
