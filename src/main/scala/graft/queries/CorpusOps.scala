@@ -308,6 +308,72 @@ object CorpusOps {
              SELECT hist.lang, CAST(mag AS INT) AS mag, CAST(n_docs AS BIGINT) AS n_docs,
                round(n_docs * 1.0 / n_lang, 6) AS share, p50_chars, p90_chars
              FROM hist JOIN tot USING (lang) JOIN qs USING (lang)
-             ORDER BY lang, mag"""))
+             ORDER BY lang, mag""")),
+
+    // ---- HyperLogLog distinct-count sketch, cross-engine EXACT
+    // (Flajolet et al. 2007): the approximate-counting primitive a
+    // 10^12-row corpus needs where exact count-distinct means shuffling
+    // every key (here: distinct 3-gram shingles per language — ~2^60
+    // possible keys at web scale). m=64 md5-derived registers
+    // (bucket = first byte mod 64, rho = leading-zero rank of the next
+    // 60 bits); register max is an algebraic aggregate (map-side
+    // combine, mergeable across partitions AND across days — the
+    // sketch union is just max()). Oracle-able because every step is
+    // integer-exact: register weights 2^(61-rho) are summed as exact
+    // decimals (no float-summation-order drift), with a single
+    // double division at the end — bit-identical in both engines.
+    // The raw estimator (no small-range correction) applies: n_exact
+    // here is 3k-9k per lang >> 2.5m = 160; expected stderr
+    // 1.04/sqrt(64) ~= 13%, and rel_error is REPORTED per row.
+    ("q82_hll_distinct",
+      (s, d) => {
+        val sh = tbl(s, d, "documents")
+          .withColumn("toks", tokens(col("text")))
+          // explode_OUTER + null filter: the q60/q24 pathology guard
+          // (inner explode makes Catalyst push an inferred size()>0
+          // predicate with the whole shingle pipeline into the scan).
+          .select(col("lang"), explode_outer(shingles3(col("toks"))).as("g"))
+          .where(col("g").isNotNull)
+        val reg = sh.select(col("lang"), md5(col("g")).as("hx")).distinct()
+          .select(col("lang"),
+            (conv(substring(col("hx"), 1, 2), 16, 10).cast("long") % 64).as("bucket"),
+            conv(substring(col("hx"), 3, 15), 16, 10).cast("long").as("v"))
+        val rho = reg.groupBy("lang", "bucket")
+          .agg(max(when(col("v") === 0, lit(61))
+            .otherwise(lit(61) - length(bin(col("v"))))).as("r"))
+        val agg = rho.groupBy("lang").agg(
+          count(lit(1)).cast("int").as("hll_regs_hit"),
+          sum(expr("CAST(shiftleft(1L, 61 - r) AS DECIMAL(38,0))"))
+            .cast("double").as("s_hit"))
+        val ex = sh.groupBy("lang").agg(countDistinct("g").as("n_exact"))
+        val p61 = 2305843009213693952L // 2^61
+        val est = lit(0.709) * lit(4096) * lit(p61) /
+          (col("s_hit") + (lit(64) - col("hll_regs_hit")) * lit(p61.toDouble))
+        agg.join(ex, Seq("lang"))
+          .select(col("lang"), col("n_exact"), col("hll_regs_hit"),
+            round(est, 4).as("hll_estimate"),
+            round(abs(est - col("n_exact")) / col("n_exact"), 4).as("rel_error"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT lang, regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT lang, unnest(list_transform(range(1, greatest(len(toks)-1,1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                    FROM t WHERE len(toks) >= 3),
+             dt AS (SELECT DISTINCT lang, md5(g) AS hx FROM sh),
+             reg AS (SELECT lang,
+                 CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 64 AS bucket,
+                 CAST('0x' || substr(hx, 3, 15) AS BIGINT) AS v
+               FROM dt),
+             rho AS (SELECT lang, bucket,
+                 max(CASE WHEN v = 0 THEN 61 ELSE 61 - length(bin(v)) END) AS r
+               FROM reg GROUP BY 1, 2),
+             agg AS (SELECT lang, CAST(count(*) AS INT) AS hll_regs_hit,
+                 CAST(sum(1::BIGINT << (61 - r)) AS DOUBLE) AS s_hit
+               FROM rho GROUP BY 1),
+             ex AS (SELECT lang, CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM sh GROUP BY 1)
+             SELECT agg.lang AS lang, n_exact, hll_regs_hit,
+               round(0.709 * 4096 * 2305843009213693952 / (s_hit + (64 - hll_regs_hit) * 2305843009213693952.0), 4) AS hll_estimate,
+               round(abs(0.709 * 4096 * 2305843009213693952 / (s_hit + (64 - hll_regs_hit) * 2305843009213693952.0) - n_exact) / n_exact, 4) AS rel_error
+             FROM agg JOIN ex ON agg.lang = ex.lang ORDER BY lang"""))
   )
 }

@@ -109,4 +109,41 @@ class CorpusOpsSpec extends SparkSuite {
       assert(p90 == sorted(math.ceil(sorted.length * 0.9).toInt - 1))
     }
   }
+
+  test("q82: HLL registers bounded, estimate in the expected-error envelope, sketch merges") {
+    val d1 = "/root/testdata/sf0.01" // enough shingles to leave the small-range regime
+    val rows = SparkEntry.queries("q82_hll_distinct")(spark, d1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, exact, regs, est, err) =>
+      assert(regs > 0 && regs <= 64, s"$lang regs $regs")
+      assert(est > 0)
+      // Raw HLL stderr at m=64 is ~13%; 3 sigma ≈ 40%. A violation
+      // means broken register math, not bad luck (the inputs are fixed).
+      assert(err <= 0.4, s"$lang rel_error $err (exact $exact est $est)")
+      assert(math.abs(math.abs(est - exact) / exact - err) < 1e-3)
+    }
+    // Mergeability — THE property that makes the sketch a 100 TB tool:
+    // registers built on two disjoint halves of the corpus, merged by
+    // per-bucket max, must equal the registers built in one pass.
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryUtil._
+    val sh = spark.read.parquet(s"$d1/documents.parquet")
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), explode_outer(shingles3(col("toks"))).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("doc_id") % 2 === 0, md5(col("g")).as("hx")).toDF("half", "hx")
+      .distinct()
+      .select(col("half"),
+        (conv(substring(col("hx"), 1, 2), 16, 10).cast("long") % 64).as("bucket"),
+        conv(substring(col("hx"), 3, 15), 16, 10).cast("long").as("v"))
+      .withColumn("rho", when(col("v") === 0, lit(61))
+        .otherwise(lit(61) - length(bin(col("v")))))
+    val merged = sh.groupBy("half", "bucket").agg(max("rho").as("r"))
+      .groupBy("bucket").agg(max("r").as("r"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val onePass = sh.groupBy("bucket").agg(max("rho").as("r"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(merged.sameElements(onePass))
+  }
 }
