@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -374,6 +374,56 @@ object CorpusOps {
              SELECT agg.lang AS lang, n_exact, hll_regs_hit,
                round(0.709 * 4096 * 2305843009213693952 / (s_hit + (64 - hll_regs_hit) * 2305843009213693952.0), 4) AS hll_estimate,
                round(abs(0.709 * 4096 * 2305843009213693952 / (s_hit + (64 - hll_regs_hit) * 2305843009213693952.0) - n_exact) / n_exact, 4) AS rel_error
-             FROM agg JOIN ex ON agg.lang = ex.lang ORDER BY lang"""))
+             FROM agg JOIN ex ON agg.lang = ex.lang ORDER BY lang""")),
+
+    // ---- Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005),
+    // cross-engine EXACT — q82's HLL answers "how many distinct"; this
+    // answers "how often does each frequent item occur" in fixed memory.
+    // d=4 rows × w=256 columns of counters; hash_i(term) = 28 md5 bits
+    // of "i:term" mod w. Counter updates are commutative integer sums →
+    // order-free and bit-identical in both engines; estimate = min over
+    // the 4 row counters, which NEVER underestimates (every collision
+    // only adds). The sketch is an algebraic aggregate: partials merge
+    // by cell-wise addition across partitions/executors/days, so a
+    // 10^12-token corpus maintains term frequencies in d·w longs where
+    // the exact count it replaces shuffles every token. Reported for
+    // the top-20 exact heavy hitters (TakeOrdered, no global window)
+    // with the observed overestimate per term; the CMS guarantee is
+    // overest ≤ e/w · N with prob ≥ 1-e^-d.
+    ("q83_cms_heavy_hitters",
+      (s, d) => {
+        val occ = occurrences(s, d).select(col("term"))
+        def cmsCells(term: Column) = posexplode(array((0 until 4).map(i =>
+          conv(substring(md5(concat(lit(s"$i:"), term)), 1, 7), 16, 10)
+            .cast("long") % 256): _*))
+        val counters = occ
+          .select(col("term"), cmsCells(col("term")).as(Seq("row", "cell")))
+          .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+        val topk = occ.groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("term")).limit(20)
+        topk
+          .select(col("term"), col("n_exact"), cmsCells(col("term")).as(Seq("row", "cell")))
+          .join(broadcast(counters), Seq("row", "cell"))
+          .groupBy("term", "n_exact").agg(min("c").as("cms_estimate"))
+          .select(col("term"), col("n_exact"), col("cms_estimate"),
+            (col("cms_estimate") - col("n_exact")).as("overest"))
+          .orderBy(col("n_exact").desc, col("term"))
+      },
+      Some("""WITH t AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS term FROM documents),
+             rows AS (SELECT unnest([0,1,2,3]) AS row),
+             cells AS (SELECT term, row,
+                 CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || term), 1, 7) AS BIGINT) % 256 AS cell
+               FROM t, rows),
+             counters AS (SELECT row, cell, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2),
+             topk AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact FROM t
+                      GROUP BY 1 ORDER BY n_exact DESC, term LIMIT 20),
+             probes AS (SELECT term, n_exact, row,
+                 CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || term), 1, 7) AS BIGINT) % 256 AS cell
+               FROM topk, rows),
+             est AS (SELECT term, n_exact, min(c) AS cms_estimate
+               FROM probes JOIN counters USING (row, cell) GROUP BY 1, 2)
+             SELECT term, n_exact, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+               CAST(cms_estimate - n_exact AS BIGINT) AS overest
+             FROM est ORDER BY n_exact DESC, term"""))
   )
 }

@@ -146,4 +146,45 @@ class CorpusOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
     assert(merged.sameElements(onePass))
   }
+
+  test("q83: CMS never underestimates, top-k exact counts descend, sketch merges by addition") {
+    val d1 = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q83_cms_heavy_hitters")(spark, d1).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (term, exact, est, over) =>
+      // THE CMS guarantee: collisions only ever add, so est >= exact.
+      assert(est >= exact, s"$term est $est < exact $exact")
+      assert(over == est - exact)
+    }
+    assert(rows.map(-_._2).toSeq == rows.map(-_._2).toSeq.sorted) // desc by n_exact
+    // Heavy hitters should be estimated tightly: the expected collision
+    // mass per cell is N/w, tiny relative to a top-20 count. Allow the
+    // loose bound est <= exact + 3 * e/w * N (CMS Markov bound, 3x).
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryUtil._
+    val occ = spark.read.parquet(s"$d1/documents.parquet")
+      .select(explode(tokens(col("text"))).as("term"))
+    val n = occ.count()
+    val bound = 3.0 * math.E / 256 * n
+    rows.foreach { case (term, exact, est, _) =>
+      assert(est <= exact + bound, s"$term overest ${est - exact} > bound $bound")
+    }
+    // Mergeability: counters built per doc_id parity and summed cell-wise
+    // must equal the one-pass counters (the property that lets daily
+    // sketches fold into a corpus sketch without re-reading the corpus).
+    val cells = spark.read.parquet(s"$d1/documents.parquet")
+      .select(col("doc_id") % 2 === 0, explode(tokens(col("text"))).as("term"))
+      .toDF("half", "term")
+      .select(col("half"), col("term"),
+        posexplode(array((0 until 4).map(i =>
+          conv(substring(md5(concat(lit(s"$i:"), col("term"))), 1, 7), 16, 10)
+            .cast("long") % 256): _*)).as(Seq("row", "cell")))
+    val merged = cells.groupBy("half", "row", "cell").agg(count(lit(1)).as("c"))
+      .groupBy("row", "cell").agg(sum("c").as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    val onePassC = cells.groupBy("row", "cell").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
+    assert(merged.sameElements(onePassC))
+  }
 }
