@@ -424,6 +424,77 @@ object CorpusOps {
                FROM probes JOIN counters USING (row, cell) GROUP BY 1, 2)
              SELECT term, n_exact, CAST(cms_estimate AS BIGINT) AS cms_estimate,
                CAST(cms_estimate - n_exact AS BIGINT) AS overest
-             FROM est ORDER BY n_exact DESC, term"""))
+             FROM est ORDER BY n_exact DESC, term""")),
+
+    // ---- q70's documented production variant, shipped: the bloom
+    // pre-pass in front of the dup-window coverage join. At corpus
+    // scale ~99% of 8-token windows are unique, yet q70's coverage join
+    // shuffles every (doc_id, pos, hash) triple to meet the dup set.
+    // Here the dup hashes (the tiny side) are folded into a distributed
+    // bloom filter (graft_bloom_agg partial aggregate, xxhash64 keys)
+    // and every window probes it MAP-SIDE (graft_might_contain,
+    // codegen) before the shuffle — unique windows never leave their
+    // scan task. Bloom FPs only admit extra candidates that the exact
+    // join then drops; no FNs exist, so the output is byte-identical to
+    // q70: the oracle is q70's own SQL, and a green row proves the
+    // prefilter lost nothing. `CorpusOpsSpec` additionally asserts the
+    // candidate-set reduction actually happened.
+    ("q85_dup_span_bloom",
+      (s, d) => {
+        graft.plans.GraftFunctions.ensureRegistered(s)
+        val t = tbl(s, d, "documents")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .withColumn("n_toks", size(col("toks")))
+        val windows = t.where(col("n_toks") >= 8)
+          .select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), col("n_toks") - 8),
+              i => md5(concat_ws(" ",
+                (1 to 8).map(k => element_at(col("toks"), i + k)): _*)))))
+          .toDF("doc_id", "pos", "h")
+          .localCheckpoint()
+        val dups = windows.groupBy("h")
+          .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1).select("h")
+          .localCheckpoint()
+        val bloomBytes = dups
+          .agg(call_function("graft_bloom_agg", xxhash64(col("h")), lit(1000000L)))
+          .head.getAs[Array[Byte]](0)
+        val candidates = windows.where(
+          call_function("graft_might_contain", lit(bloomBytes), xxhash64(col("h"))))
+        val covered = candidates.join(dups, "h")
+          .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 7)).as("cp"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("covered"))
+        t.join(covered, Seq("doc_id"), "left")
+          .withColumn("covered", coalesce(col("covered"), lit(0L)))
+          .select(col("doc_id"), col("n_toks"), col("covered"),
+            round(col("covered").cast("double") / col("n_toks").cast("double"), 6)
+              .as("dup_frac"))
+          .withColumn("keep",
+            col("covered").cast("double") / col("n_toks").cast("double") <= 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+               SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+               FROM documents),
+             base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_toks, toks FROM t),
+             w AS (SELECT doc_id,
+                     [md5(array_to_string(toks[i+1:i+8], ' '))
+                        FOR i IN range(0, len(toks) - 7)] AS hs
+                   FROM base WHERE n_toks >= 8),
+             e AS (SELECT doc_id,
+                     unnest(hs) AS h,
+                     unnest(range(0, len(hs))) AS pos
+                   FROM w),
+             dups AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+             cp AS (SELECT doc_id, unnest(range(pos, pos + 8)) AS cp
+                    FROM e JOIN dups USING (h)),
+             cov AS (SELECT doc_id, count(*) AS covered
+                     FROM (SELECT DISTINCT doc_id, cp FROM cp) GROUP BY 1)
+             SELECT b.doc_id, b.n_toks,
+                    CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered,
+                    round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_toks, 6) AS dup_frac,
+                    (CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_toks <= 0.5) AS keep
+             FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+             ORDER BY b.doc_id"""))
   )
 }

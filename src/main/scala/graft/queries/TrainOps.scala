@@ -254,6 +254,62 @@ object TrainOps {
                CAST(row_number() OVER (PARTITION BY host ORDER BY rk_key, doc_id) AS INT) AS rk
              FROM t)
              SELECT doc_id, host, rk, (rk <= 10) AS kept
-             FROM r ORDER BY doc_id"""))
+             FROM r ORDER BY doc_id""")),
+
+    // ---- q80's documented production variant, shipped: the per-host
+    // cap as an ALGEBRAIC per-partition top-K partial instead of a
+    // global per-host sort window. Phase 1 (map side, before any
+    // shuffle): each task keeps only its K smallest (rk_key, doc_id)
+    // pairs per host in a bounded heap — the partial is mergeable, so
+    // the shuffle carries ≤ K·partitions candidates per host instead of
+    // every row of a mega-host. Phase 2: the exact top-K over that
+    // bounded candidate set. Emits the KEPT set only (what production
+    // materializes; ranks of dropped rows are what the window variant
+    // pays a full sort for). Oracle = the same quota as q80, so a green
+    // row PROVES partial-top-K ≡ window semantics; `TrainOpsSpec` also
+    // asserts row-for-row equality with q80's kept set.
+    ("q84_host_cap_topk",
+      (s, d) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val k = 10
+        val base = tbl(s, d, "documents")
+          .withColumn("host",
+            concat(lit("h"), when(col("doc_id") % 3 === 0, lit(0L))
+              .otherwise(col("doc_id") % 40)))
+          .select(col("doc_id"), col("host"),
+            md5(col("doc_id").cast("string")).as("rk_key"))
+        val survivors = base.as[(Long, String, String)].mapPartitions { it =>
+          import scala.collection.mutable
+          // max-heap per host: the root is the WORST kept pair, evicted
+          // the moment a better one arrives — O(hosts·K) memory per task.
+          val heaps = mutable.HashMap.empty[String, mutable.PriorityQueue[(String, Long)]]
+          it.foreach { case (docId, host, rkKey) =>
+            val h = heaps.getOrElseUpdate(host,
+              mutable.PriorityQueue.empty[(String, Long)](Ordering.Tuple2[String, Long]))
+            if (h.size < k) h.enqueue((rkKey, docId))
+            else if (Ordering.Tuple2[String, Long].lt((rkKey, docId), h.head)) {
+              h.dequeue(); h.enqueue((rkKey, docId))
+            }
+          }
+          heaps.iterator.flatMap { case (host, h) =>
+            h.iterator.map { case (rkKey, docId) => (docId, host, rkKey) }
+          }
+        }.toDF("doc_id", "host", "rk_key")
+        survivors
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("host").orderBy(col("rk_key"), col("doc_id"))))
+          .where(col("rk") <= k)
+          .select(col("doc_id"), col("host"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+               'h' || (CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 40 END) AS host,
+               md5(CAST(doc_id AS VARCHAR)) AS rk_key
+             FROM documents),
+             r AS (SELECT doc_id, host,
+               row_number() OVER (PARTITION BY host ORDER BY rk_key, doc_id) AS rk
+             FROM t)
+             SELECT doc_id, host FROM r WHERE rk <= 10 ORDER BY doc_id"""))
   )
 }

@@ -187,4 +187,34 @@ class CorpusOpsSpec extends SparkSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted
     assert(merged.sameElements(onePassC))
   }
+
+  test("q85: bloom pre-pass output is byte-identical to q70 and actually prunes") {
+    val d1 = "/root/testdata/sf0.01"
+    def rows(q: String) = SparkEntry.queries(q)(spark, d1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val bloom = rows("q85_dup_span_bloom")
+    val plain = rows("q70_dup_span_coverage")
+    // No false negatives + exact verify join ⇒ identical coverage.
+    assert(bloom.sameElements(plain))
+    // The pruning is real: unique windows vastly outnumber dup windows,
+    // so the bloom must drop most of the coverage join's probe side.
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryUtil._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val windows = spark.read.parquet(s"$d1/documents.parquet")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .where(size(col("toks")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - 8),
+          i => md5(concat_ws(" ",
+            (1 to 8).map(k => element_at(col("toks"), i + k)): _*)))).as("h"))
+    val dups = windows.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd")).where(col("nd") > 1).select("h")
+    val bf = dups.agg(call_function("graft_bloom_agg", xxhash64(col("h")), lit(1000000L)))
+      .head.getAs[Array[Byte]](0)
+    val total = windows.count()
+    val kept = windows.where(
+      call_function("graft_might_contain", lit(bf), xxhash64(col("h")))).count()
+    assert(kept < total / 2, s"bloom kept $kept of $total windows — no pruning happened")
+  }
 }

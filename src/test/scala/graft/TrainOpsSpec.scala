@@ -110,4 +110,19 @@ class TrainOpsSpec extends SparkSuite {
     assert(byHost("h0") > 100)
     assert(byHost.values.exists(_ <= 10))
   }
+
+  test("q84: algebraic top-K partial selects exactly q80's kept set") {
+    val d1 = "/root/testdata/sf0.01"
+    val partial = SparkEntry.queries("q84_host_cap_topk")(spark, d1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    val window = SparkEntry.queries("q80_host_cap")(spark, d1)
+      .collect().filter(_.getBoolean(3)).map(r => (r.getLong(0), r.getString(1))).sorted
+    // Row-for-row: the bounded-heap partial + merge is EQUIVALENT to the
+    // global per-host sort window, at a fraction of the shuffle volume.
+    assert(partial.sameElements(window))
+    // And it really capped: no host exceeds K, the Zipf head hits it.
+    val byHost = partial.groupBy(_._2).view.mapValues(_.length)
+    assert(byHost.values.max <= 10)
+    assert(byHost("h0") == 10)
+  }
 }
