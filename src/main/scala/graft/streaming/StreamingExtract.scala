@@ -190,6 +190,78 @@ object StreamingExtract {
       .start()
   }
 
+  /** Streaming maintenance of the q82 HyperLogLog registers: per
+    * micro-batch, fold each arriving document's shingle hashes into the
+    * per-(lang, bucket) register max. The register update is a plain
+    * streaming max aggregate because HLL is DUPLICATE-INSENSITIVE —
+    * max(rho) over all occurrences equals max(rho) over distinct values
+    * — so no cross-batch dropDuplicates state is needed at all. State =
+    * langs × 64 registers (a few hundred longs); output mode complete,
+    * so the sink table always holds the sketch of everything ingested
+    * so far. `StreamingSketchSpec` proves the streamed registers equal
+    * the one-pass batch registers across forced micro-batch splits —
+    * the "daily partials fold into the corpus sketch" contract, live.
+    */
+  def hllRegisterStream(
+      spark: SparkSession,
+      inputDir: String,
+      tableName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import graft.queries.QueryUtil
+    val reader = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .withColumn("toks", QueryUtil.tokens(col("text")))
+      .select(col("lang"), explode_outer(QueryUtil.shingles3(col("toks"))).as("g"))
+      .where(col("g").isNotNull)
+      .select(col("lang"), md5(col("g")).as("hx"))
+      .select(col("lang"),
+        (conv(substring(col("hx"), 1, 2), 16, 10).cast("long") % 64).as("bucket"),
+        conv(substring(col("hx"), 3, 15), 16, 10).cast("long").as("v"))
+      .select(col("lang"), col("bucket"),
+        when(col("v") === 0, lit(61))
+          .otherwise(lit(61) - length(bin(col("v")))).as("rho"))
+      .groupBy("lang", "bucket").agg(max("rho").as("r"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming maintenance of the q83 Count-Min counters: each arriving
+    * token increments its d=4 md5-derived cells; the streaming sum
+    * aggregate IS the sketch merge (counter addition commutes across
+    * micro-batches). State = 4×256 longs regardless of corpus size.
+    * Together with hllRegisterStream this makes the corpus statistics
+    * incrementally maintainable: a 10^12-token corpus's distinct and
+    * frequency summaries stay current without any batch recomputation.
+    */
+  def cmsCounterStream(
+      spark: SparkSession,
+      inputDir: String,
+      tableName: String,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    import graft.queries.QueryUtil
+    val reader = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(inputDir)
+      .select(explode(QueryUtil.tokens(col("text"))).as("term"))
+      .select(posexplode(array((0 until 4).map(i =>
+        conv(substring(md5(concat(lit(s"$i:"), col("term"))), 1, 7), 16, 10)
+          .cast("long") % 256): _*)).as(Seq("row", "cell")))
+      .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+      .writeStream
+      .format("memory")
+      .queryName(tableName)
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming dedup output row: extraction output + the content hash it
     * was deduplicated on (md5 of extracted text — 128 bits so hash
     * collisions are negligible even at 10^12 documents; a 64-bit key
