@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
   *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
-  *     [--span-dedup] [--pack] [--host-cap K]
+  *     [--span-dedup] [--pack] [--host-cap K] [--stats]
   */
 object CorpusPipeline {
 
@@ -42,7 +42,8 @@ object CorpusPipeline {
       cluster: Boolean = false,
       spanDedup: Boolean = false,
       pack: Boolean = false,
-      hostCap: Int = 0)
+      hostCap: Int = 0,
+      stats: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -61,6 +62,7 @@ object CorpusPipeline {
         case "--span-dedup" => a = a.copy(spanDedup = true); i += 1
         case "--pack" => a = a.copy(pack = true); i += 1
         case "--host-cap" => a = a.copy(hostCap = argv(i + 1).toInt); i += 2
+        case "--stats" => a = a.copy(stats = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -232,6 +234,31 @@ object CorpusPipeline {
       spanned.join(contaminated, Seq("url"), "left_anti").persist()
     } else spanned
     stages += "decontaminated" -> clean.count()
+
+    // 6.5. Corpus-statistics sketches (optional, q82/q83 shape): the
+    // HLL register table (per-lang distinct-shingle summary) and CMS
+    // counter table (term-frequency summary) of the FINAL cleaned
+    // corpus, persisted under $out/stats/. These are the mergeable
+    // fixed-size summaries downstream mixture design reads instead of
+    // re-scanning the corpus; a later incremental run folds its own
+    // tables in by register-max / counter-sum (SketchStats scaladoc,
+    // StreamingSketchSpec proves the fold). Cost: one pass over toks,
+    // output a few hundred rows.
+    if (a.stats) {
+      import graft.queries.SketchStats
+      val sh = clean
+        .select(col("lang"), explode_outer(sh3(col("toks"))).as("g"))
+        .where(col("g").isNotNull)
+      SketchStats.hllRegisters(sh, "g", "lang")
+        .write.mode("overwrite").parquet(s"${a.out}/stats/hll_registers")
+      SketchStats.cmsCounters(
+        clean.select(explode(col("toks")).as("term")), "term")
+        .write.mode("overwrite").parquet(s"${a.out}/stats/cms_counters")
+      stages += "stats_hll_registers" ->
+        spark.read.parquet(s"${a.out}/stats/hll_registers").count()
+      stages += "stats_cms_cells" ->
+        spark.read.parquet(s"${a.out}/stats/cms_counters").count()
+    }
 
     // 7. Token-window chunking (q57 shape).
     val w = a.window; val st = a.stride

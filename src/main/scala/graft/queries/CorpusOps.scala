@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryUtil._
 
@@ -334,13 +334,11 @@ object CorpusOps {
           // predicate with the whole shingle pipeline into the scan).
           .select(col("lang"), explode_outer(shingles3(col("toks"))).as("g"))
           .where(col("g").isNotNull)
-        val reg = sh.select(col("lang"), md5(col("g")).as("hx")).distinct()
-          .select(col("lang"),
-            (conv(substring(col("hx"), 1, 2), 16, 10).cast("long") % 64).as("bucket"),
-            conv(substring(col("hx"), 3, 15), 16, 10).cast("long").as("v"))
-        val rho = reg.groupBy("lang", "bucket")
-          .agg(max(when(col("v") === 0, lit(61))
-            .otherwise(lit(61) - length(bin(col("v"))))).as("r"))
+        // No distinct before the register fold: max over the multiset
+        // equals max over the distinct set (SketchStats scaladoc), so
+        // the oracle's DISTINCT CTE is matched without the extra
+        // exchange it would cost here.
+        val rho = SketchStats.hllRegisters(sh, "g", "lang")
         val agg = rho.groupBy("lang").agg(
           count(lit(1)).cast("int").as("hll_regs_hit"),
           sum(expr("CAST(shiftleft(1L, 61 - r) AS DECIMAL(38,0))"))
@@ -393,16 +391,12 @@ object CorpusOps {
     ("q83_cms_heavy_hitters",
       (s, d) => {
         val occ = occurrences(s, d).select(col("term"))
-        def cmsCells(term: Column) = posexplode(array((0 until 4).map(i =>
-          conv(substring(md5(concat(lit(s"$i:"), term)), 1, 7), 16, 10)
-            .cast("long") % 256): _*))
-        val counters = occ
-          .select(col("term"), cmsCells(col("term")).as(Seq("row", "cell")))
-          .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+        val counters = SketchStats.cmsCounters(occ, "term")
         val topk = occ.groupBy("term").agg(count(lit(1)).as("n_exact"))
           .orderBy(col("n_exact").desc, col("term")).limit(20)
         topk
-          .select(col("term"), col("n_exact"), cmsCells(col("term")).as(Seq("row", "cell")))
+          .select(col("term"), col("n_exact"),
+            SketchStats.cmsCells(col("term")).as(Seq("row", "cell")))
           .join(broadcast(counters), Seq("row", "cell"))
           .groupBy("term", "n_exact").agg(min("c").as("cms_estimate"))
           .select(col("term"), col("n_exact"), col("cms_estimate"),

@@ -207,22 +207,15 @@ object StreamingExtract {
       inputDir: String,
       tableName: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    import graft.queries.QueryUtil
+    import graft.queries.{QueryUtil, SketchStats}
     val reader = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
+    val shingled = reader.parquet(inputDir)
       .withColumn("toks", QueryUtil.tokens(col("text")))
       .select(col("lang"), explode_outer(QueryUtil.shingles3(col("toks"))).as("g"))
       .where(col("g").isNotNull)
-      .select(col("lang"), md5(col("g")).as("hx"))
-      .select(col("lang"),
-        (conv(substring(col("hx"), 1, 2), 16, 10).cast("long") % 64).as("bucket"),
-        conv(substring(col("hx"), 3, 15), 16, 10).cast("long").as("v"))
-      .select(col("lang"), col("bucket"),
-        when(col("v") === 0, lit(61))
-          .otherwise(lit(61) - length(bin(col("v")))).as("rho"))
-      .groupBy("lang", "bucket").agg(max("rho").as("r"))
+    SketchStats.hllRegisters(shingled, "g", "lang")
       .writeStream
       .format("memory")
       .queryName(tableName)
@@ -244,16 +237,13 @@ object StreamingExtract {
       inputDir: String,
       tableName: String,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
-    import graft.queries.QueryUtil
+    import graft.queries.{QueryUtil, SketchStats}
     val reader = spark.readStream
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(inputDir)
-      .select(explode(QueryUtil.tokens(col("text"))).as("term"))
-      .select(posexplode(array((0 until 4).map(i =>
-        conv(substring(md5(concat(lit(s"$i:"), col("term"))), 1, 7), 16, 10)
-          .cast("long") % 256): _*)).as(Seq("row", "cell")))
-      .groupBy("row", "cell").agg(count(lit(1)).as("c"))
+    SketchStats.cmsCounters(
+      reader.parquet(inputDir)
+        .select(explode(QueryUtil.tokens(col("text"))).as("term")), "term")
       .writeStream
       .format("memory")
       .queryName(tableName)

@@ -184,4 +184,32 @@ class CorpusPipelineSpec extends SparkSuite {
       s"eval overlap must drop documents: $stages")
     assert(base("near_dedup") == stages("near_dedup")) // same corpus upstream
   }
+
+  test("--stats persists well-formed, mass-conserving HLL/CMS sketch tables") {
+    val out = tmpDir("cp_stats")
+    val stages = CorpusPipeline.run(spark, Args(rows = 400, out = out, stats = true)).toMap
+    assert(stages.contains("stats_hll_registers") && stages.contains("stats_cms_cells"))
+
+    val regs = spark.read.parquet(s"$out/stats/hll_registers")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(regs.nonEmpty && regs.length == stages("stats_hll_registers"))
+    regs.foreach { case (lang, bucket, r) =>
+      assert(lang.nonEmpty && bucket >= 0 && bucket < 64 && r >= 1 && r <= 61,
+        s"bad register ($lang, $bucket, $r)")
+    }
+    // ≤ 64 registers per lang, each (lang, bucket) key unique.
+    assert(regs.distinct.length == regs.length)
+    regs.groupBy(_._1).foreach { case (l, rs) => assert(rs.length <= 64, l) }
+
+    val cells = spark.read.parquet(s"$out/stats/cms_counters")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty && cells.length == stages("stats_cms_cells"))
+    assert(cells.forall { case (row, cell, c) =>
+      row >= 0 && row < 4 && cell >= 0 && cell < 256 && c > 0 })
+    // Mass conservation: each CMS row counts every token exactly once,
+    // so all 4 per-row sums are equal (= the cleaned corpus token count).
+    val mass = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(mass.keySet == Set(0, 1, 2, 3))
+    assert(mass.values.toSet.size == 1, s"unequal row masses: $mass")
+  }
 }
