@@ -489,6 +489,67 @@ object CorpusOps {
                     round(CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_toks, 6) AS dup_frac,
                     (CAST(coalesce(cov.covered, 0) AS DOUBLE) / b.n_toks <= 0.5) AS keep
              FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
-             ORDER BY b.doc_id"""))
+             ORDER BY b.doc_id""")),
+
+    // ---- q72's documented production variant, shipped: LM scoring
+    // against a PRUNED model BROADCAST to a map-only scoring pass.
+    // Production never joins the corpus against a full bigram table by
+    // shuffle — it trains once, prunes hapax bigrams (c2 >= 2 keeps the
+    // model broadcastable: pruned size is O(repeated bigrams), a tiny
+    // fraction of corpus bigrams by Zipf), and ships (pruned c2 +
+    // unigram c1) to every task; a pruned-away bigram scores as unseen
+    // (c2' = 0), i.e. (0+1)/(c1+V) under the same add-one smoothing.
+    // The rule is deterministic, so the oracle applies it identically —
+    // and the pruning direction is provable: dropping a hapax bigram
+    // can only lower its probability, so per-doc cross_entropy_pruned
+    // >= q72's cross_entropy, with equality exactly for documents with
+    // no hapax bigrams (`CorpusOpsSpec` asserts both, plus the
+    // broadcast scoring plan).
+    ("q86_lm_broadcast_scoring",
+      (s, d) => {
+        val t = tbl(s, d, "documents").select(col("doc_id"), tokens(col("text")).as("toks"))
+        val bi = t.where(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(transform(sequence(lit(0), size(col("toks")) - 2),
+              i => struct(element_at(col("toks"), i + 1).as("w1"),
+                          element_at(col("toks"), i + 2).as("w2")))).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .localCheckpoint()
+        val c2p = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .where(col("c2") >= 2) // the prune: hapax bigrams stay home
+        val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vocab = t.select(explode(col("toks")).as("w"))
+          .agg(countDistinct("w")).head.getLong(0)
+        // Map-only scoring: both model sides broadcast; unseen/pruned
+        // bigrams coalesce to c2'=0. (c1 always exists: it was counted
+        // from the very bigrams being scored.)
+        bi.join(broadcast(c2p), Seq("w1", "w2"), "left")
+          .join(broadcast(c1), Seq("w1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(log((coalesce(col("c2"), lit(0L)) + lit(1)).cast("double") /
+                    (col("c1") + lit(vocab)).cast("double"))).as("ll"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(-col("ll") / col("n_bigrams").cast("double"), 6)
+              .as("cross_entropy_pruned"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks
+               FROM documents),
+             bi AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                    FROM t, unnest(range(1, len(toks))) AS u(i)
+                    WHERE len(toks) >= 2),
+             c2p AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2
+                     HAVING count(*) >= 2),
+             c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+             v AS (SELECT CAST(count(DISTINCT term) AS DOUBLE) AS v
+                   FROM (SELECT unnest(toks) AS term FROM t)),
+             sc AS (SELECT doc_id, count(*) AS n_bigrams,
+                      sum(ln((coalesce(c2, 0) + 1.0) / (c1 + v))) AS ll
+                    FROM bi LEFT JOIN c2p USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+                    GROUP BY doc_id)
+             SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                    round(-ll / n_bigrams, 6) AS cross_entropy_pruned
+             FROM sc ORDER BY doc_id"""))
   )
 }

@@ -705,6 +705,73 @@ object TextOps {
              md5(text) AS digest,
              CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
              CAST((octet_length(encode(text)) // 7) % 480 + 1 AS INT) AS height
-             FROM documents ORDER BY doc_id"""))
+             FROM documents ORDER BY doc_id""")),
+
+    // ---- Containment dedup: detects a SMALL document embedded in a
+    // big one (quotes, syndicated excerpts, boilerplate-wrapped
+    // copies) — the case Jaccard-based dedup (q23/q24) structurally
+    // misses, because |A∩B|/|A∪B| vanishes as the host grows while
+    // containment |A∩B|/min(|A|,|B|) stays 1.0. Inputs are planted
+    // from doc_id (q44/q54 precedent): every 37th document contributes
+    // a 25-token excerpt as a synthetic quote doc. Shape is the
+    // inverted-index pair join — one shuffle on the shingle key, NO
+    // all-pairs compare: candidate volume is Σ_g df(g)², bounded by
+    // the df-cap (df ≤ 50) that drops stop-shingles first — the
+    // standard prefix-filter step, mirrored in the oracle. Sizes are
+    // computed AFTER the cap on both sides, so a true subset still
+    // scores containment 1.0 even when some of its shingles were
+    // capped away.
+    ("q87_containment_dedup",
+      (s, d) => {
+        val base = tbl(s, d, "documents").select(col("doc_id"), col("text"))
+        val snippets = base.where(col("doc_id") % 37 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+            array_join(slice(tokens(col("text")), 1, 25), " ").as("text"))
+        val sh = base.unionByName(snippets)
+          .withColumn("toks", tokens(col("text")))
+          .select(col("doc_id"), explode_outer(shingles3(col("toks"))).as("g"))
+          .where(col("g").isNotNull)
+          .localCheckpoint() // feeds df-cap AND both pair-join sides
+        val keepG = sh.groupBy("g").agg(count(lit(1)).as("df"))
+          .where(col("df") <= 50).select("g")
+        val shf = sh.join(keepG, "g").localCheckpoint()
+        val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val pairs = shf.select(col("doc_id").as("doc_a"), col("g"))
+          .join(shf.select(col("doc_id").as("doc_b"), col("g")), Seq("g"))
+          .where(col("doc_a") < col("doc_b"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+          .withColumn("containment",
+            col("inter").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+          .where(col("containment") >= 0.9)
+          .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("inter"),
+            round(col("containment"), 6).as("containment"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some("""WITH base AS (SELECT doc_id, text FROM documents),
+             snip AS (SELECT doc_id + 1000000 AS doc_id,
+                 array_to_string((regexp_extract_all(lower(text), '\S+'))[1:25], ' ') AS text
+               FROM base WHERE doc_id % 37 = 0),
+             ad AS (SELECT * FROM base UNION ALL SELECT * FROM snip),
+             t AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS toks FROM ad),
+             sh AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 3 THEN
+                     list_distinct(list_transform(range(1, greatest(len(toks)-1,1)),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                   ELSE [] END) AS g FROM t),
+             keep AS (SELECT g FROM sh GROUP BY g HAVING count(*) <= 50),
+             shf AS (SELECT sh.doc_id, sh.g FROM sh JOIN keep USING (g)),
+             sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+             pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                       FROM shf a JOIN shf b ON a.g = b.g AND a.doc_id < b.doc_id
+                       GROUP BY 1, 2),
+             c AS (SELECT doc_a, doc_b, sa.n AS n_a, sb.n AS n_b, inter,
+                     CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+                   FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+                              JOIN sizes sb ON doc_b = sb.doc_id)
+             SELECT doc_a, doc_b, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(inter AS BIGINT) AS inter, round(containment, 6) AS containment
+             FROM c WHERE containment >= 0.9 ORDER BY doc_a, doc_b"""))
   )
 }

@@ -310,6 +310,65 @@ object TrainOps {
              r AS (SELECT doc_id, host,
                row_number() OVER (PARTITION BY host ORDER BY rk_key, doc_id) AS rk
              FROM t)
-             SELECT doc_id, host FROM r WHERE rk <= 10 ORDER BY doc_id"""))
+             SELECT doc_id, host FROM r WHERE rk <= 10 ORDER BY doc_id""")),
+
+    // ---- DSIR-style importance weights (Xie et al. 2023, "Data
+    // Selection for Language Models via Importance Resampling"): score
+    // every raw document by how target-like its hashed-unigram profile
+    // is, log w(x) = Σ_b f_b(x)·(ln p_target(b) − ln p_raw(b)) over
+    // B=128 md5-hashed feature buckets with add-one smoothing. Target =
+    // the planted eval slice (doc_id % 50 == 0, the q60 convention);
+    // raw = everything else. The mixture-design complement of q58/q59:
+    // those set PROPORTIONS, this RANKS individual documents for
+    // resampling toward a target distribution. Scale shape: bucket
+    // counts are one algebraic agg over (bucket) — 128 cells, the
+    // hashed-feature trick exists precisely so the model NEVER grows
+    // with the vocab; the log-ratio table broadcasts to a map-only
+    // scoring join; per-doc Σ is ≤128 terms (6dp-rounded, the
+    // cross-engine float contract).
+    ("q88_dsir_weights",
+      (s, d) => {
+        val bk = tbl(s, d, "documents")
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("term")), 1, 7), 16, 10).cast("long") % 128).as("b"))
+          .localCheckpoint() // feeds the model agg AND the scoring pass
+        val isTarget = col("doc_id") % 50 === 0
+        val counts = bk.groupBy("b").agg(
+          sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+          sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+        val tot = counts.agg(sum("ct"), sum("cr")).head
+        val (tt, tr) = (tot.getLong(0), tot.getLong(1))
+        val lr = counts.select(col("b"),
+          (log((col("ct") + lit(1)).cast("double") / lit(tt + 128.0)) -
+           log((col("cr") + lit(1)).cast("double") / lit(tr + 128.0))).as("lr"))
+        bk.where(!isTarget)
+          .groupBy("doc_id", "b").agg(count(lit(1)).as("f"))
+          .join(broadcast(lr), Seq("b"))
+          .groupBy("doc_id")
+          .agg(sum("f").as("n_toks"), sum(col("f") * col("lr")).as("lw"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("lw"), 6).as("log_weight"),
+            (round(col("lw"), 6) > 0).as("target_like"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+               FROM documents),
+             bk AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(term), 1, 7) AS BIGINT) % 128 AS b FROM tok),
+             counts AS (SELECT b,
+                 sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN doc_id % 50 != 0 THEN 1 ELSE 0 END) AS cr
+               FROM bk GROUP BY 1),
+             tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+             lr AS (SELECT b, ln((ct + 1.0) / (tt + 128.0)) - ln((cr + 1.0) / (tr + 128.0)) AS lr
+                    FROM counts CROSS JOIN tot),
+             docb AS (SELECT doc_id, b, count(*) AS f FROM bk
+                      WHERE doc_id % 50 != 0 GROUP BY 1, 2),
+             sc AS (SELECT doc_id, sum(f) AS n_toks, sum(f * lr) AS lw
+                    FROM docb JOIN lr USING (b) GROUP BY 1)
+             SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+               round(lw, 6) AS log_weight, (round(lw, 6) > 0) AS target_like
+             FROM sc ORDER BY doc_id"""))
   )
 }

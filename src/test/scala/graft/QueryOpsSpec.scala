@@ -317,4 +317,52 @@ class QueryOpsSpec extends SparkSuite {
     // Zipf skew really present: top host carries >4% of rows.
     assert(salted.head._3 > 800, s"expected hot host, got ${salted.head}")
   }
+
+  test("q86 pruned-broadcast scoring: CE >= full model per doc, equality exists, plan broadcasts") {
+    val d1 = "/root/testdata/sf0.001"
+    val full = SparkEntry.queries("q72_lm_perplexity")(spark, d1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val df = SparkEntry.queries("q86_lm_broadcast_scoring")(spark, d1)
+    val pruned = df.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pruned.keySet == full.keySet)
+    // Pruning a hapax bigram can only LOWER its probability, so the
+    // pruned cross-entropy dominates the full one (6dp-rounding slack).
+    pruned.foreach { case (id, ce) =>
+      assert(ce >= full(id) - 1e-6, s"doc $id pruned $ce < full ${full(id)}")
+    }
+    assert(pruned.exists { case (id, ce) => ce > full(id) + 1e-6 },
+      "some document must contain a hapax bigram")
+    // The scoring joins are broadcasts — the map-only production shape.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "model join must broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"scoring must not shuffle-sort:\n$plan")
+  }
+
+  test("q87 containment: planted excerpts score 1.0 against their hosts; Jaccard would miss them") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryUtil._
+    val d1 = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q87_containment_dedup")(spark, d1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, na, nb, inter, c) =>
+      assert(c <= 1.0 + 1e-9 && inter <= math.min(na, nb))
+    }
+    // Every planted (host, host+10^6) excerpt pair with enough tokens
+    // must be found with containment exactly 1.0 (a true subset
+    // survives the df-cap because sizes are computed post-cap).
+    val hosts = spark.read.parquet(s"$d1/documents.parquet")
+      .where(col("doc_id") % 37 === 0 && size(tokens(col("text"))) >= 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val found = rows.filter { case (a, b, _, _, _, _) => hosts.contains(a) && b == a + 1000000L }
+    assert(found.nonEmpty && found.size >= hosts.size - 1, // tolerate one fully-capped host
+      s"planted pairs found ${found.size} of ${hosts.size}")
+    found.foreach { case (a, _, _, _, _, c) => assert(c == 1.0, s"host $a containment $c") }
+    // The motivating case: at least one detected pair whose Jaccard is
+    // below the q23/q24 0.5 threshold — containment finds what
+    // union-normalized similarity structurally cannot.
+    assert(found.exists { case (_, _, na, nb, inter, _) =>
+      inter.toDouble / (na + nb - inter) < 0.5 })
+  }
 }

@@ -125,4 +125,40 @@ class TrainOpsSpec extends SparkSuite {
     assert(byHost.values.max <= 10)
     assert(byHost("h0") == 10)
   }
+
+  test("q88 DSIR weights: raw pool only, flags consistent, matches a driver-side recomputation") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.QueryUtil._
+    val d1 = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q88_dsir_weights")(spark, d1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, n, lw, flag) =>
+      assert(id % 50 != 0, s"target doc $id must not be scored")
+      assert(n > 0 && !lw.isNaN && !lw.isInfinite)
+      assert(flag == (lw > 0))
+    }
+    // Independent recomputation of one document's weight from raw
+    // token counts (driver-side, different aggregation path).
+    val toks = spark.read.parquet(s"$d1/documents.parquet")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 7)
+      (java.lang.Long.parseLong(hex, 16) % 128).toInt
+    }
+    val bt = toks.map { case (id, t) => (id, bucket(t)) }
+    val target = bt.filter(_._1 % 50 == 0); val raw = bt.filter(_._1 % 50 != 0)
+    val ct = target.groupBy(_._2).view.mapValues(_.length).toMap
+    val cr = raw.groupBy(_._2).view.mapValues(_.length).toMap
+    val (tt, tr) = (target.length.toDouble, raw.length.toDouble)
+    val lrs = (0 until 128).map(b => b ->
+      (math.log((ct.getOrElse(b, 0) + 1.0) / (tt + 128)) -
+       math.log((cr.getOrElse(b, 0) + 1.0) / (tr + 128)))).toMap
+    val someDoc = rows.head._1
+    val expect = raw.filter(_._1 == someDoc).map(x => lrs(x._2)).sum
+    val got = rows.find(_._1 == someDoc).get._3
+    assert(math.abs(got - expect) < 1e-4, s"doc $someDoc: $got vs $expect")
+  }
 }
