@@ -44,12 +44,11 @@ object Bench {
       // shuffle runs on per-executor local NVMe, which scales).
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft_spark_local"))
-      // Codec knobs (A/B-able): zstd output is the default — on a
-      // memory-bandwidth-capped box (see MemBw) the denser codec trades
-      // abundant CPU for scarce channel bytes; measured job local[16]
-      // 19.4→17.0 s and 4→16 scaling 0.70→0.82 vs snappy.
+      // Output codec: same single owner as the production session
+      // factory (SparkUtil.parquetCodec scaladoc has the A/B numbers)
+      // so the bench measures what production writes with.
       .config("spark.sql.parquet.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+        graft.app.SparkUtil.parquetCodec)
       .config("spark.io.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .getOrCreate()

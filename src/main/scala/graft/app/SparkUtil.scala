@@ -8,6 +8,18 @@ import org.apache.spark.sql.SparkSession
   * (cluster deployments override via spark-submit conf).
   */
 object SparkUtil {
+
+  /** Parquet output codec — SINGLE owner of the default, shared by this
+    * session factory and graft.Bench so the bench always measures the
+    * codec production writes with. zstd over snappy trades abundant CPU
+    * for scarce memory-channel/storage bytes — measured on the job
+    * bench (8M rows, local[16]): 19.4 s → 17.0 s (+12% throughput) and
+    * 4→16 scaling 0.70 → 0.82, because the parquet write's memcpy
+    * traffic is the job's non-scaling term (BENCH.md, MemBw). On a
+    * real cluster the same trade cuts storage + replication bytes.
+    */
+  def parquetCodec: String = sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd")
+
   def session(appName: String, cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
     val b = SparkSession.builder()
       .appName(appName)
@@ -23,14 +35,7 @@ object SparkUtil {
       // only wide stages shuffle compact post-kernel records, sized by
       // shuffle.partitions ≈ cores (AQE coalesces further).
       .config("spark.sql.files.maxPartitionBytes", "134217728")
-      // Output codec: zstd over snappy trades abundant CPU for scarce
-      // memory-channel/storage bytes — measured on the job bench
-      // (8M rows, local[16]): 19.4 s → 17.0 s (+12% throughput) and
-      // 4→16 scaling 0.70 → 0.82, because the parquet write's memcpy
-      // traffic is the job's non-scaling term (BENCH.md, MemBw). On a
-      // real cluster the same trade cuts storage + replication bytes.
-      .config("spark.sql.parquet.compression.codec",
-        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "zstd"))
+      .config("spark.sql.parquet.compression.codec", parquetCodec)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
     // Respect an existing master (spark-submit); default to local[cpus].
     val withMaster =

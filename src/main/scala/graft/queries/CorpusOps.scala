@@ -345,8 +345,12 @@ object CorpusOps {
             .cast("double").as("s_hit"))
         val ex = sh.groupBy("lang").agg(countDistinct("g").as("n_exact"))
         val p61 = 2305843009213693952L // 2^61
-        val est = lit(0.709) * lit(4096) * lit(p61) /
-          (col("s_hit") + (lit(64) - col("hll_regs_hit")) * lit(p61.toDouble))
+        // α_m · m² · 2^61 / (Σ_hit + misses·2^61) — every constant
+        // derived from SketchStats so the estimator tracks the register
+        // layout (the oracle SQL necessarily inlines the m=64 values).
+        val m = SketchStats.HllM
+        val est = lit(SketchStats.HllAlphaM) * lit(m.toLong * m) * lit(p61) /
+          (col("s_hit") + (lit(m) - col("hll_regs_hit")) * lit(p61.toDouble))
         agg.join(ex, Seq("lang"))
           .select(col("lang"), col("n_exact"), col("hll_regs_hit"),
             round(est, 4).as("hll_estimate"),
@@ -495,10 +499,17 @@ object CorpusOps {
     // against a PRUNED model BROADCAST to a map-only scoring pass.
     // Production never joins the corpus against a full bigram table by
     // shuffle — it trains once, prunes hapax bigrams (c2 >= 2 keeps the
-    // model broadcastable: pruned size is O(repeated bigrams), a tiny
-    // fraction of corpus bigrams by Zipf), and ships (pruned c2 +
+    // bigram side broadcastable: pruned size is O(repeated bigrams), a
+    // tiny fraction of corpus bigrams by Zipf), and ships (pruned c2 +
     // unigram c1) to every task; a pruned-away bigram scores as unseen
     // (c2' = 0), i.e. (0+1)/(c1+V) under the same add-one smoothing.
+    // Scope of the broadcast claim: c1 here is the UNpruned unigram
+    // table, fine at any vocab a single model ships (KenLM-style vocabs
+    // are 10^5-10^6 after the min-count cut); at raw web scale the
+    // distinct-\S+ tail is larger and production applies the same
+    // min-count prune to c1 (rare tokens fold into one <unk> count)
+    // BEFORE broadcasting — that changes smoothing semantics, so this
+    // oracle-checked form keeps c1 exact and prunes only c2.
     // The rule is deterministic, so the oracle applies it identically —
     // and the pruning direction is provable: dropping a hapax bigram
     // can only lower its probability, so per-doc cross_entropy_pruned

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
 object SketchStats {
 
   val HllM = 64
+
+  /** α_m bias-correction constant (Flajolet et al. 2007 §4/Table): the
+    * small-m table values, the published closed form above 128. Derived
+    * from HllM so the estimator can never silently diverge from the
+    * register layout.
+    */
+  val HllAlphaM: Double = HllM match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m => 0.7213 / (1 + 1.079 / m)
+  }
+
   val CmsDepth = 4
   val CmsWidth = 256
 

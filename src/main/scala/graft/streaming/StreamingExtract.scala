@@ -22,6 +22,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingExtract {
 
+  /** Read-schema of the synthetic `documents` table (TESTDATA.md) —
+    * single owner for every documents-sourced stream builder below.
+    */
+  private val DocumentsSchema =
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
   /** Incremental extraction over a parquet directory source. The scan
     * projects to the kernel's input columns (model.KernelPage) — the
     * unused golden `text` column never leaves the parquet reader.
@@ -209,7 +215,7 @@ object StreamingExtract {
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import graft.queries.{QueryUtil, SketchStats}
     val reader = spark.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .schema(DocumentsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val shingled = reader.parquet(inputDir)
       .withColumn("toks", QueryUtil.tokens(col("text")))
@@ -239,7 +245,7 @@ object StreamingExtract {
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     import graft.queries.{QueryUtil, SketchStats}
     val reader = spark.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .schema(DocumentsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     SketchStats.cmsCounters(
       reader.parquet(inputDir)
@@ -371,7 +377,7 @@ object StreamingExtract {
       threshold: Double = 0.5,
       maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val reader = spark.readStream
-      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .schema(DocumentsSchema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     reader.parquet(inputDir)
       .select("doc_id", "text", "lang")
