@@ -354,7 +354,80 @@ object WebOps {
             }
           }.toDF("doc_id", "raw_bytes", "deflated_bytes", "ratio", "repetitive")
           .orderBy("doc_id")
-      }, None)
+      }, None),
+
+    // ---- Host-graph PageRank (Brin & Page 1998): the link-centrality
+    // signal crawl scheduling and domain-quality filtering consume
+    // (Common Crawl publishes exactly this per-host table). Edges are
+    // planted from doc_id (q44/q87 convention): src = the q80 host id,
+    // dst = (doc_id·7+3) mod 40 — 7 ⊥ 40, so every host has out-edges
+    // and the dangling-mass term is structurally zero here (production
+    // adds it back as one scalar agg broadcast per iteration). Five
+    // damped iterations (d=0.85), r ← 0.15/N + 0.85·Σ_{u→v} r(u)/deg(u).
+    // Scale shape — the ITERATIVE join-agg pattern: per iteration one
+    // src-key join and one dst-key partial agg, contributions carry
+    // (dst, r/deg) pairs only; ranks are localCheckpointed per round
+    // (lineage truncation — without it the plan doubles every
+    // iteration, the classic iterative-Spark failure); at 10^8 hosts
+    // edges are bucketed by src so the join is co-located and the only
+    // shuffle is the contribution agg. Fixed iteration count ⇒ O(5)
+    // shuffles total.
+    ("q89_host_pagerank",
+      (s, d) => {
+        val docs = tbl(s, d, "documents").select(col("doc_id"))
+        val edges = docs.select(
+            when(col("doc_id") % 3 === 0, lit(0L))
+              .otherwise(col("doc_id") % 40).as("src"),
+            ((col("doc_id") * 7 + 3) % 40).as("dst"))
+          .where(col("src") =!= col("dst")).distinct()
+          .localCheckpoint()
+        val nodes = edges.select(col("src").as("h"))
+          .union(edges.select(col("dst").as("h"))).distinct().localCheckpoint()
+        val n = nodes.count().toDouble
+        val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("dg"))
+        var r = nodes.select(col("h"), lit(1.0 / n).as("r"))
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(r.withColumnRenamed("h", "src"), Seq("src"))
+            .join(deg, Seq("src"))
+            .groupBy(col("dst")).agg(sum(col("r") / col("dg")).as("cs"))
+            .withColumnRenamed("dst", "h")
+          r = nodes.join(contrib, Seq("h"), "left")
+            .select(col("h"),
+              (lit(0.15 / n) + lit(0.85) * coalesce(col("cs"), lit(0.0))).as("r"))
+            .localCheckpoint()
+        }
+        r.select(col("h").as("host"), round(col("r"), 6).as("rank"))
+          .orderBy("host")
+      },
+      Some("""WITH e0 AS (SELECT CASE WHEN doc_id % 3 = 0 THEN 0 ELSE doc_id % 40 END AS src,
+                    (doc_id * 7 + 3) % 40 AS dst FROM documents),
+             edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src != dst),
+             nodes AS (SELECT src AS h FROM edges UNION SELECT dst FROM edges),
+             nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS dg FROM edges GROUP BY 1),
+             r0 AS (SELECT h, 1.0 / n AS r FROM nodes CROSS JOIN nn),
+             c1 AS (SELECT dst AS h, sum(r0.r / deg.dg) AS cs FROM edges
+                    JOIN r0 ON edges.src = r0.h JOIN deg ON edges.src = deg.src GROUP BY dst),
+             r1 AS (SELECT nodes.h, 0.15 / n + 0.85 * coalesce(cs, 0) AS r
+                    FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.h = c1.h),
+             c2 AS (SELECT dst AS h, sum(r1.r / deg.dg) AS cs FROM edges
+                    JOIN r1 ON edges.src = r1.h JOIN deg ON edges.src = deg.src GROUP BY dst),
+             r2 AS (SELECT nodes.h, 0.15 / n + 0.85 * coalesce(cs, 0) AS r
+                    FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.h = c2.h),
+             c3 AS (SELECT dst AS h, sum(r2.r / deg.dg) AS cs FROM edges
+                    JOIN r2 ON edges.src = r2.h JOIN deg ON edges.src = deg.src GROUP BY dst),
+             r3 AS (SELECT nodes.h, 0.15 / n + 0.85 * coalesce(cs, 0) AS r
+                    FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.h = c3.h),
+             c4 AS (SELECT dst AS h, sum(r3.r / deg.dg) AS cs FROM edges
+                    JOIN r3 ON edges.src = r3.h JOIN deg ON edges.src = deg.src GROUP BY dst),
+             r4 AS (SELECT nodes.h, 0.15 / n + 0.85 * coalesce(cs, 0) AS r
+                    FROM nodes CROSS JOIN nn LEFT JOIN c4 ON nodes.h = c4.h),
+             c5 AS (SELECT dst AS h, sum(r4.r / deg.dg) AS cs FROM edges
+                    JOIN r4 ON edges.src = r4.h JOIN deg ON edges.src = deg.src GROUP BY dst),
+             r5 AS (SELECT nodes.h, 0.15 / n + 0.85 * coalesce(cs, 0) AS r
+                    FROM nodes CROSS JOIN nn LEFT JOIN c5 ON nodes.h = c5.h)
+             SELECT h AS host, round(r, 6) AS rank FROM r5 ORDER BY host"""))
   )
 
   /** Public twin of TextOps.docToks (kept private there). */

@@ -134,4 +134,34 @@ class WebOpsSpec extends SparkSuite {
       assert(rows(url) == expect, s"doc $id: ${rows(url)} != $expect")
     }
   }
+
+  test("q89 PageRank: matches a driver-side reference, ranks positive and mass-conserving") {
+    import org.apache.spark.sql.functions._
+    val d1 = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q89_host_pagerank")(spark, d1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // Independent driver-side PageRank over the same planted edges.
+    val ids = spark.read.parquet(s"$d1/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val edges = ids.map(i => (if (i % 3 == 0) 0L else i % 40, (i * 7 + 3) % 40))
+      .filter(e => e._1 != e._2).distinct
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length.toDouble
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map(e => r(e._1) / deg(e._1)).sum).toMap
+      r = nodes.map(h => h -> (0.15 / n + 0.85 * contrib.getOrElse(h, 0.0))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    got.foreach { case (h, rank) =>
+      assert(rank > 0)
+      assert(math.abs(rank - r(h)) < 1e-6, s"host $h: $rank vs ${r(h)}")
+    }
+    // No dangling hosts in the planted graph (7 coprime to 40 ⇒ every
+    // host emits), so total rank mass is conserved at exactly 1.
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass ${got.values.sum}")
+  }
 }
