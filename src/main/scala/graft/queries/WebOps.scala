@@ -427,7 +427,78 @@ object WebOps {
                     JOIN r4 ON edges.src = r4.h JOIN deg ON edges.src = deg.src GROUP BY dst),
              r5 AS (SELECT nodes.h, 0.15 / n + 0.85 * coalesce(cs, 0) AS r
                     FROM nodes CROSS JOIN nn LEFT JOIN c5 ON nodes.h = c5.h)
-             SELECT h AS host, round(r, 6) AS rank FROM r5 ORDER BY host"""))
+             SELECT h AS host, round(r, 6) AS rank FROM r5 ORDER BY host""")),
+
+    // ---- robots.txt crawl-permission filter (REP, RFC 9309): the
+    // compliance gate every crawl pipeline applies before a byte is
+    // fetched. Longest-matching rule wins; Allow beats Disallow on
+    // equal length; no matching rule ⇒ allowed — the Google/RFC
+    // precedence, encoded as one deterministic argmax per url. Rules
+    // and paths are planted from doc_id (q44/q87 convention): five
+    // hosts share a base rule set, even hosts add a /tmp disallow,
+    // every third host adds the CLASSIC override case — '/private/'
+    // Allow shadowing the shorter '/private' Disallow. Scale shape:
+    // robots rule sets are KB per host, so the rules table broadcasts
+    // and the filter is a map-only prefix-match + per-url local argmax
+    // — no shuffle touches the url table; at 10^8 hosts the rules side
+    // is still the small side (bucket/bloom it by host if not).
+    ("q90_robots_filter",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val hosts = s.range(5)
+          .select(col("id"), concat(lit("https://site"), col("id"), lit(".com")).as("host"))
+        val base = hosts.select(col("id"), col("host"), explode(array(
+            struct(lit("/private").as("rule_path"), lit("disallow").as("action")),
+            struct(lit("/public").as("rule_path"), lit("allow").as("action")))).as("r"))
+          .select(col("id"), col("host"), col("r.rule_path"), col("r.action"))
+        val rules = base
+          .unionByName(hosts.where(col("id") % 2 === 0)
+            .select(col("id"), col("host"), lit("/tmp").as("rule_path"), lit("disallow").as("action")))
+          .unionByName(hosts.where(col("id") % 3 === 0)
+            .select(col("id"), col("host"), lit("/private/").as("rule_path"), lit("allow").as("action")))
+          .drop("id")
+        val urls = tbl(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://site"), col("doc_id") % 5, lit(".com")).as("host"),
+          when(col("doc_id") % 4 === 0, concat(lit("/p/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 1, concat(lit("/private/"), col("doc_id")))
+            .when(col("doc_id") % 4 === 2, concat(lit("/public/docs/"), col("doc_id")))
+            .otherwise(concat(lit("/tmp/"), col("doc_id"))).as("path"))
+        val winners = urls.join(broadcast(rules), Seq("host"))
+          .where(expr("startswith(path, rule_path)"))
+          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
+            .orderBy(length(col("rule_path")).desc, col("action"), col("rule_path"))))
+          .where(col("rk") === 1)
+          .select(col("doc_id"), col("rule_path"), col("action"))
+        urls.join(winners, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("path"),
+            coalesce(col("rule_path"), lit("")).as("matched_rule"),
+            coalesce(col("action") === "allow", lit(true)).as("allowed"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH hosts AS (SELECT i AS id, 'https://site' || i || '.com' AS host
+                FROM range(5) t(i)),
+             base AS (SELECT id, host, rp AS rule_path, act AS action FROM hosts,
+                (VALUES ('/private', 'disallow'), ('/public', 'allow')) v(rp, act)),
+             rules AS (SELECT host, rule_path, action FROM base
+               UNION ALL SELECT host, '/tmp', 'disallow' FROM hosts WHERE id % 2 = 0
+               UNION ALL SELECT host, '/private/', 'allow' FROM hosts WHERE id % 3 = 0),
+             urls AS (SELECT doc_id, 'https://site' || (doc_id % 5) || '.com' AS host,
+                 CASE CAST(doc_id % 4 AS INT)
+                   WHEN 0 THEN '/p/' || doc_id
+                   WHEN 1 THEN '/private/' || doc_id
+                   WHEN 2 THEN '/public/docs/' || doc_id
+                   ELSE '/tmp/' || doc_id END AS path
+               FROM documents),
+             m AS (SELECT u.doc_id, r.rule_path, r.action,
+                 row_number() OVER (PARTITION BY u.doc_id
+                   ORDER BY length(r.rule_path) DESC, r.action, r.rule_path) AS rk
+               FROM urls u JOIN rules r ON u.host = r.host
+                 AND starts_with(u.path, r.rule_path)),
+             w AS (SELECT doc_id, rule_path, action FROM m WHERE rk = 1)
+             SELECT u.doc_id, u.path,
+               coalesce(w.rule_path, '') AS matched_rule,
+               coalesce(w.action = 'allow', TRUE) AS allowed
+             FROM urls u LEFT JOIN w USING (doc_id) ORDER BY u.doc_id"""))
   )
 
   /** Public twin of TextOps.docToks (kept private there). */

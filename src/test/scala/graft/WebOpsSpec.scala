@@ -164,4 +164,29 @@ class WebOpsSpec extends SparkSuite {
     // host emits), so total rank mass is conserved at exactly 1.
     assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass ${got.values.sum}")
   }
+
+  test("q90 robots filter: closed-form REP precedence per planted path family") {
+    val d1 = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q90_robots_filter")(spark, d1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, path, rule, allowed) =>
+      val host = id % 5
+      (id % 4) match {
+        case 0 => // /p/… matches no rule → allowed by default
+          assert(rule == "" && allowed, s"doc $id $path")
+        case 1 => // /private/…: every third host's longer '/private/'
+          // Allow shadows the '/private' Disallow — the REP
+          // longest-match override this operator exists for.
+          if (host % 3 == 0) assert(rule == "/private/" && allowed, s"doc $id")
+          else assert(rule == "/private" && !allowed, s"doc $id")
+        case 2 => assert(rule == "/public" && allowed, s"doc $id")
+        case _ => // /tmp/…: disallowed only on even hosts
+          if (host % 2 == 0) assert(rule == "/tmp" && !allowed, s"doc $id")
+          else assert(rule == "" && allowed, s"doc $id")
+      }
+    }
+    // Both verdicts occur — the filter actually partitions the crawl.
+    assert(rows.exists(_._4) && rows.exists(!_._4))
+  }
 }
