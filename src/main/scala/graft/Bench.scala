@@ -517,7 +517,16 @@ object Bench {
       f"""{"metric":"suite_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$storage"extraction":{""" +
       phaseJson("kernel", kernelPhase, kernelRows) +
       phaseJson("job", jobPhase, jobRows) +
-      (if (minProbe.isNaN) """"probe":{"valid":true,"note":"no probe samples"}"""
+      // Even with zero ALU probe samples (reps shorter than the probe
+      // period) the supply/steal checks still ran — report the REAL
+      // benchValid and those counts instead of a hardcoded true, so a
+      // contended smoke run can't publish a valid-looking JSON.
+      (if (minProbe.isNaN)
+         f""""probe":{"note":"no probe samples",""" +
+         (if (maxSupply.isNaN) "" else
+           f""""supply_max_units_per_sec":$maxSupply%.1f,"kernel_supply_low_reps":${supplyLowCount(kernelPhase)},"job_supply_low_reps":${supplyLowCount(jobPhase)},""") +
+         f""""kernel_stolen_reps":${stolenCount(kernelPhase)},"job_stolen_reps":${stolenCount(jobPhase)},""" +
+         f""""valid":$benchValid}"""
        else f""""probe":{"min_unit_secs":$minProbe%.4f,"stall_factor":$stallFactor%.1f,""" +
          f""""kernel_stalled_reps":${stalledCount(kernelPhase)},"job_stalled_reps":${stalledCount(jobPhase)},""" +
          (if (minCopy.isNaN) "" else

@@ -179,7 +179,11 @@ object CorpusPipeline {
     val nearDeduped = if (a.hostCap <= 0) nearDeduped0 else {
       import org.apache.spark.sql.expressions.Window
       val kept = nearDeduped0
-        .withColumn("host", regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1))
+        // Shared canonicalizer-grade host key (QueryUtil.urlHost):
+        // lowercase + www/port strip so case/www twins share one quota,
+        // and schemeless urls stay their own key instead of collapsing
+        // into a single ""-host that a cap would silently decimate.
+        .withColumn("host", urlHost(col("url")))
         .withColumn("rk", row_number().over(
           Window.partitionBy("host").orderBy(md5(col("url")), col("url"))))
         .where(col("rk") <= a.hostCap).drop("rk", "host").persist()

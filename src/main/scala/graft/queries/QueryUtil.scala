@@ -92,6 +92,23 @@ object QueryUtil {
     * (MinHash-LSH) and q30/q32/q33 (LSH/IVF buckets). The count is a
     * parquet metadata-only scan — effectively free.
     */
+  /** Lower-cased, www-/default-port-stripped host of a url — the same
+    * normalization as the q54 canonicalizer (WebOps), extracted as the
+    * single owner for every host-keyed stage (per-host cap, host
+    * stats). Urls with no recognizable scheme://host fall back to the
+    * whole (lower-cased) url, so each unparseable string is its OWN
+    * key — a grouped cap can never collapse millions of schemeless
+    * urls into one empty-string pseudo-host and silently drop them.
+    */
+  def urlHost(u: Column): Column = {
+    val h = regexp_replace(
+      regexp_replace(
+        lower(regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    when(length(h) > 0, h).otherwise(lower(u))
+  }
+
   def requireBaselineScale(s: SparkSession, dir: String, table: String,
       query: String, maxRows: Long = 200000L): Unit = {
     val n = tbl(s, dir, table).count()

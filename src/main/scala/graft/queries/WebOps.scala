@@ -265,8 +265,16 @@ object WebOps {
             concat(lit("https://site"), urlKey % 7, lit(".com/page/"), urlKey).as("url"),
             (lit(1600000000L) + (col("doc_id") * 7919) % 100000).as("ts_s"))
           .groupBy("url")
+          // Tie-break: max by (ts_s, doc_id), matching the streaming
+          // twin's documented preference for the larger doc_id on equal
+          // timestamps — bare max_by(doc, ts) is non-deterministic on
+          // ties. Spark could order by struct(ts_s, doc_id) directly;
+          // the scalar composite (planted ts offset known in-query)
+          // exists because DuckDB 1.0's arg_max lacks struct keys.
           .agg(count(lit(1)).as("n_snapshots"),
-            max_by(col("doc_id"), col("ts_s")).as("kept_doc_id"),
+            max_by(col("doc_id"),
+              (col("ts_s") - 1600000000L) * 1000000000L + col("doc_id"))
+              .as("kept_doc_id"),
             min("ts_s").as("first_ts_s"),
             max("ts_s").as("last_ts_s"))
           .orderBy("url")
@@ -277,7 +285,7 @@ object WebOps {
              FROM documents)
              SELECT url,
                CAST(count(*) AS BIGINT) AS n_snapshots,
-               arg_max(doc_id, ts_s) AS kept_doc_id,
+               arg_max(doc_id, (ts_s - 1600000000) * 1000000000 + doc_id) AS kept_doc_id,
                CAST(min(ts_s) AS BIGINT) AS first_ts_s,
                CAST(max(ts_s) AS BIGINT) AS last_ts_s
              FROM u GROUP BY url ORDER BY url""")),

@@ -196,6 +196,21 @@ object StreamingExtract {
       .start()
   }
 
+  /** Reader for latestSnapshotStream's Update-mode memory sink. The
+    * sink is an UPDATE LOG — one row per (url, micro-batch that touched
+    * it) — NOT a table of current state; consumers that join it raw see
+    * up to one stale row per batch. A url's current state is its
+    * emission with the highest n_snapshots (the counter is monotone),
+    * which this helper selects — the single owner of that contract.
+    */
+  def latestSnapshots(spark: SparkSession, tableName: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    spark.table(tableName)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("url").orderBy(col("n_snapshots").desc)))
+      .where(col("rn") === 1).drop("rn")
+  }
+
   /** Streaming maintenance of the q82 HyperLogLog registers: per
     * micro-batch, fold each arriving document's shingle hashes into the
     * per-(lang, bucket) register max. The register update is a plain

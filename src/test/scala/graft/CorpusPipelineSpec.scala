@@ -58,7 +58,7 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(stages("decontaminated") == stages("host_capped"))
     // No host exceeds the cap in the shipped windows (url → host).
     val hosts = spark.read.parquet(s"$out/training_windows")
-      .select(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1).as("host"), col("url"))
+      .select(graft.queries.QueryUtil.urlHost(col("url")).as("host"), col("url"))
       .distinct().groupBy("host").count().as[(String, Long)].collect()
     assert(hosts.nonEmpty && hosts.forall(_._2 <= k),
       s"over-cap hosts: ${hosts.filter(_._2 > k).toSeq}")

@@ -191,13 +191,10 @@ class StreamingSpec extends SparkSuite {
       .latestSnapshotStream(spark, in, "snap_tbl", maxFilesPerTrigger = Some(1))
       .awaitTermination()
 
-    // Update-mode memory sink: each url's FINAL emission has its max
-    // (monotone) n_snapshots — select it per url.
-    val streamed = spark.table("snap_tbl")
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("url")
-          .orderBy(col("n_snapshots").desc)))
-      .where(col("rn") === 1).drop("rn")
+    // The operator's own reader owns the update-log → current-state
+    // contract (one stale row per touching micro-batch otherwise).
+    val streamed = graft.streaming.StreamingExtract
+      .latestSnapshots(spark, "snap_tbl")
       .select("url", "n_snapshots", "kept_doc_id", "first_ts_s", "last_ts_s")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .sortBy(_._1)
