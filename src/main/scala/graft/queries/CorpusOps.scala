@@ -561,6 +561,110 @@ object CorpusOps {
                     GROUP BY doc_id)
              SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
                     round(-ll / n_bigrams, 6) AS cross_entropy_pruned
-             FROM sc ORDER BY doc_id"""))
+             FROM sc ORDER BY doc_id""")),
+
+    // ---- Cross-snapshot sketch drift: estimate how much two crawls'
+    // shingle vocabularies overlap from their HLL REGISTERS ALONE —
+    // union registers are per-bucket max (the q82 merge), intersection
+    // follows by inclusion-exclusion |A∩B| ≈ Ȃ + B̂ − Â∪B, so two 512-
+    // byte sketches answer "how much is new in this crawl?" per
+    // language without touching either corpus again (the monitoring
+    // primitive behind incremental-crawl budgeting; exact answers need
+    // a full distinct-join of both snapshots). Snapshots are the
+    // doc-parity halves; exact per-lang intersection ships alongside
+    // as the reference column. Inclusion-exclusion noise compounds
+    // three raw estimators, so the spec bounds the overlap estimate
+    // loosely; cross-engine the math is still bit-exact (integer
+    // registers, decimal weight sums, one double expression per
+    // estimate).
+    ("q91_sketch_drift",
+      (s, d) => {
+        val sh = tbl(s, d, "documents")
+          .withColumn("toks", tokens(col("text")))
+          .select((col("doc_id") % 2 === 0).as("ha"), col("lang"),
+            explode_outer(shingles3(col("toks"))).as("g"))
+          .where(col("g").isNotNull)
+          .localCheckpoint() // feeds registers AND the exact reference
+        val hx = md5(col("g"))
+        val reg = sh
+          .select(col("ha"), col("lang"),
+            SketchStats.hllBucket(hx).as("bucket"), SketchStats.hllRho(hx).as("rho"))
+          .groupBy("ha", "lang", "bucket").agg(max("rho").as("r"))
+        val piv = reg.groupBy("lang", "bucket").agg(
+          max(when(col("ha"), col("r"))).as("ra"),
+          max(when(!col("ha"), col("r"))).as("rb"),
+          max("r").as("ru"))
+        def sHit(c: String) = sum(when(col(c).isNotNull,
+          expr(s"CAST(shiftleft(1L, 61 - $c) AS DECIMAL(38,0))"))).cast("double")
+        val agg = piv.groupBy("lang").agg(
+          count(col("ra")).cast("int").as("hit_a"), sHit("ra").as("sa"),
+          count(col("rb")).cast("int").as("hit_b"), sHit("rb").as("sb"),
+          count(col("ru")).cast("int").as("hit_u"), sHit("ru").as("su"))
+        val m = SketchStats.HllM
+        val p61 = 2305843009213693952L
+        def est(sC: String, hitC: String) =
+          lit(SketchStats.HllAlphaM) * lit(m.toLong * m) * lit(p61) /
+            (col(sC) + (lit(m) - col(hitC)) * lit(p61.toDouble))
+        val inter = sh.where(col("ha")).select("lang", "g").distinct()
+          .intersect(sh.where(!col("ha")).select("lang", "g").distinct())
+          .groupBy("lang").agg(count(lit(1)).as("n_exact_inter"))
+        agg.join(inter, Seq("lang"))
+          .select(col("lang"), col("n_exact_inter"),
+            round(est("sa", "hit_a"), 4).as("hll_est_a"),
+            round(est("sb", "hit_b"), 4).as("hll_est_b"),
+            round(est("sa", "hit_a") + est("sb", "hit_b") - est("su", "hit_u"), 4)
+              .as("hll_est_inter"),
+            round((est("sa", "hit_a") + est("sb", "hit_b") - est("su", "hit_u")) /
+              est("su", "hit_u"), 4).as("overlap_est"),
+            // The estimate's own noise floor, REPORTED so a consumer
+            // can tell signal from sketch noise: each raw estimator has
+            // stderr 1.04/√m of ITS set size, so the inclusion-
+            // exclusion difference carries absolute noise on the order
+            // of 1.04/√m · |A∪B| — when the true intersection is far
+            // below this, the sketch can only say "small" (1.04/8 is a
+            // power-of-two scaling, bit-identical in both engines).
+            round(lit(1.04 / 8) * est("su", "hit_u"), 4).as("noise_scale"))
+          .orderBy("lang")
+      },
+      Some("""WITH t AS (SELECT doc_id % 2 = 0 AS ha, lang,
+                    regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+             sh AS (SELECT ha, lang, unnest(list_transform(range(1, greatest(len(toks)-1,1)),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+                    FROM t WHERE len(toks) >= 3),
+             dt AS (SELECT DISTINCT ha, lang, md5(g) AS hx FROM sh),
+             reg AS (SELECT ha, lang,
+                 CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 64 AS bucket,
+                 max(CASE WHEN CAST('0x' || substr(hx, 3, 15) AS BIGINT) = 0 THEN 61
+                     ELSE 61 - length(bin(CAST('0x' || substr(hx, 3, 15) AS BIGINT))) END) AS r
+               FROM dt GROUP BY 1, 2, 3),
+             piv AS (SELECT lang, bucket,
+                 max(CASE WHEN ha THEN r END) AS ra,
+                 max(CASE WHEN NOT ha THEN r END) AS rb,
+                 max(r) AS ru
+               FROM reg GROUP BY 1, 2),
+             agg AS (SELECT lang,
+                 CAST(count(ra) AS INT) AS hit_a,
+                 CAST(sum(CASE WHEN ra IS NOT NULL THEN 1::BIGINT << (61 - ra) END) AS DOUBLE) AS sa,
+                 CAST(count(rb) AS INT) AS hit_b,
+                 CAST(sum(CASE WHEN rb IS NOT NULL THEN 1::BIGINT << (61 - rb) END) AS DOUBLE) AS sb,
+                 CAST(count(ru) AS INT) AS hit_u,
+                 CAST(sum(CASE WHEN ru IS NOT NULL THEN 1::BIGINT << (61 - ru) END) AS DOUBLE) AS su
+               FROM piv GROUP BY 1),
+             inter AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact_inter FROM (
+                 SELECT DISTINCT lang, g FROM sh WHERE ha
+                 INTERSECT
+                 SELECT DISTINCT lang, g FROM sh WHERE NOT ha) GROUP BY 1)
+             SELECT agg.lang AS lang, n_exact_inter,
+               round(0.709 * 4096 * 2305843009213693952 / (sa + (64 - hit_a) * 2305843009213693952.0), 4) AS hll_est_a,
+               round(0.709 * 4096 * 2305843009213693952 / (sb + (64 - hit_b) * 2305843009213693952.0), 4) AS hll_est_b,
+               round(0.709 * 4096 * 2305843009213693952 / (sa + (64 - hit_a) * 2305843009213693952.0)
+                   + 0.709 * 4096 * 2305843009213693952 / (sb + (64 - hit_b) * 2305843009213693952.0)
+                   - 0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0), 4) AS hll_est_inter,
+               round((0.709 * 4096 * 2305843009213693952 / (sa + (64 - hit_a) * 2305843009213693952.0)
+                   + 0.709 * 4096 * 2305843009213693952 / (sb + (64 - hit_b) * 2305843009213693952.0)
+                   - 0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0))
+                   / (0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0)), 4) AS overlap_est,
+               round((1.04 / 8) * (0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0)), 4) AS noise_scale
+             FROM agg JOIN inter ON agg.lang = inter.lang ORDER BY lang"""))
   )
 }

@@ -188,6 +188,34 @@ class CorpusOpsSpec extends SparkSuite {
     assert(merged.sameElements(onePassC))
   }
 
+  test("q91: drift estimates positive, union identity ties back to q82's estimate") {
+    val d1 = "/root/testdata/sf0.01"
+    val drift = SparkEntry.queries("q91_sketch_drift")(spark, d1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(drift.nonEmpty)
+    val q82 = SparkEntry.queries("q82_hll_distinct")(spark, d1)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    drift.foreach { case (lang, exactInter, estA, estB, estInter, overlap, noise) =>
+      assert(exactInter > 0, s"$lang: halves must share shingles")
+      assert(estA > 0 && estB > 0 && noise > 0)
+      // Inclusion-exclusion noise scales with the UNION size (the
+      // operator reports that floor itself); bound the error at ~4
+      // combined sigmas of it — a violation means broken register
+      // math, not bad luck (inputs are fixed).
+      assert(math.abs(estInter - exactInter) < 4 * noise,
+        s"$lang est_inter $estInter vs exact $exactInter (noise $noise)")
+      assert(math.abs(overlap - exactInter / (estA + estB - estInter)) < 1.0,
+        s"$lang overlap $overlap")
+      // Union identity: A∪B of the halves IS the whole corpus, so the
+      // implied union estimate must equal q82's whole-corpus estimate
+      // (both derived from the same registers; 4dp rounding slack ×3).
+      val estU = estA + estB - estInter
+      assert(math.abs(estU - q82(lang)) < 1e-3,
+        s"$lang union ${estU} != q82 ${q82(lang)}")
+    }
+  }
+
   test("q85: bloom pre-pass output is byte-identical to q70 and actually prunes") {
     val d1 = "/root/testdata/sf0.01"
     def rows(q: String) = SparkEntry.queries(q)(spark, d1).collect()
