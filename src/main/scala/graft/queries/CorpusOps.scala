@@ -585,11 +585,7 @@ object CorpusOps {
             explode_outer(shingles3(col("toks"))).as("g"))
           .where(col("g").isNotNull)
           .localCheckpoint() // feeds registers AND the exact reference
-        val hx = md5(col("g"))
-        val reg = sh
-          .select(col("ha"), col("lang"),
-            SketchStats.hllBucket(hx).as("bucket"), SketchStats.hllRho(hx).as("rho"))
-          .groupBy("ha", "lang", "bucket").agg(max("rho").as("r"))
+        val reg = SketchStats.hllRegisters(sh, "g", "ha", "lang")
         val piv = reg.groupBy("lang", "bucket").agg(
           max(when(col("ha"), col("r"))).as("ra"),
           max(when(!col("ha"), col("r"))).as("rb"),
@@ -605,11 +601,17 @@ object CorpusOps {
         def est(sC: String, hitC: String) =
           lit(SketchStats.HllAlphaM) * lit(m.toLong * m) * lit(p61) /
             (col(sC) + (lit(m) - col(hitC)) * lit(p61.toDouble))
-        val inter = sh.where(col("ha")).select("lang", "g").distinct()
-          .intersect(sh.where(!col("ha")).select("lang", "g").distinct())
+        // INTERSECT is already set-semantic — a distinct on each side
+        // would just add two full shuffles of the widest table here.
+        val inter = sh.where(col("ha")).select("lang", "g")
+          .intersect(sh.where(!col("ha")).select("lang", "g"))
           .groupBy("lang").agg(count(lit(1)).as("n_exact_inter"))
-        agg.join(inter, Seq("lang"))
-          .select(col("lang"), col("n_exact_inter"),
+        // LEFT join: a language with ZERO cross-half overlap ("all new
+        // this crawl" — the very signal this monitor exists for) must
+        // report 0, not vanish from the table.
+        agg.join(inter, Seq("lang"), "left")
+          .select(col("lang"),
+            coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"),
             round(est("sa", "hit_a"), 4).as("hll_est_a"),
             round(est("sb", "hit_b"), 4).as("hll_est_b"),
             round(est("sa", "hit_a") + est("sb", "hit_b") - est("su", "hit_u"), 4)
@@ -651,10 +653,11 @@ object CorpusOps {
                  CAST(sum(CASE WHEN ru IS NOT NULL THEN 1::BIGINT << (61 - ru) END) AS DOUBLE) AS su
                FROM piv GROUP BY 1),
              inter AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_exact_inter FROM (
-                 SELECT DISTINCT lang, g FROM sh WHERE ha
+                 SELECT lang, g FROM sh WHERE ha
                  INTERSECT
-                 SELECT DISTINCT lang, g FROM sh WHERE NOT ha) GROUP BY 1)
-             SELECT agg.lang AS lang, n_exact_inter,
+                 SELECT lang, g FROM sh WHERE NOT ha) GROUP BY 1)
+             SELECT agg.lang AS lang,
+               CAST(coalesce(n_exact_inter, 0) AS BIGINT) AS n_exact_inter,
                round(0.709 * 4096 * 2305843009213693952 / (sa + (64 - hit_a) * 2305843009213693952.0), 4) AS hll_est_a,
                round(0.709 * 4096 * 2305843009213693952 / (sb + (64 - hit_b) * 2305843009213693952.0), 4) AS hll_est_b,
                round(0.709 * 4096 * 2305843009213693952 / (sa + (64 - hit_a) * 2305843009213693952.0)
@@ -665,6 +668,6 @@ object CorpusOps {
                    - 0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0))
                    / (0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0)), 4) AS overlap_est,
                round((1.04 / 8) * (0.709 * 4096 * 2305843009213693952 / (su + (64 - hit_u) * 2305843009213693952.0)), 4) AS noise_scale
-             FROM agg JOIN inter ON agg.lang = inter.lang ORDER BY lang"""))
+             FROM agg LEFT JOIN inter ON agg.lang = inter.lang ORDER BY lang"""))
   )
 }

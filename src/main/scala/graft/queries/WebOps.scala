@@ -269,11 +269,15 @@ object WebOps {
           // twin's documented preference for the larger doc_id on equal
           // timestamps — bare max_by(doc, ts) is non-deterministic on
           // ties. Spark could order by struct(ts_s, doc_id) directly;
-          // the scalar composite (planted ts offset known in-query)
-          // exists because DuckDB 1.0's arg_max lacks struct keys.
+          // DuckDB 1.0's arg_max lacks struct keys, so both sides use
+          // the zero-padded string composite — lexicographic on padded
+          // digits IS numeric (ts, doc) order, with no magnitude bound
+          // (an arithmetic composite like ts·10^9+doc silently corrupts
+          // once doc_id crosses the multiplier).
           .agg(count(lit(1)).as("n_snapshots"),
             max_by(col("doc_id"),
-              (col("ts_s") - 1600000000L) * 1000000000L + col("doc_id"))
+              concat(lpad(col("ts_s").cast("string"), 19, "0"),
+                lpad(col("doc_id").cast("string"), 19, "0")))
               .as("kept_doc_id"),
             min("ts_s").as("first_ts_s"),
             max("ts_s").as("last_ts_s"))
@@ -285,7 +289,7 @@ object WebOps {
              FROM documents)
              SELECT url,
                CAST(count(*) AS BIGINT) AS n_snapshots,
-               arg_max(doc_id, (ts_s - 1600000000) * 1000000000 + doc_id) AS kept_doc_id,
+               arg_max(doc_id, lpad(CAST(ts_s AS VARCHAR), 19, '0') || lpad(CAST(doc_id AS VARCHAR), 19, '0')) AS kept_doc_id,
                CAST(min(ts_s) AS BIGINT) AS first_ts_s,
                CAST(max(ts_s) AS BIGINT) AS last_ts_s
              FROM u GROUP BY url ORDER BY url""")),
@@ -392,7 +396,15 @@ object WebOps {
         val nodes = edges.select(col("src").as("h"))
           .union(edges.select(col("dst").as("h"))).distinct().localCheckpoint()
         val n = nodes.count().toDouble
+        // deg is read by all 5 iterations; each iteration's
+        // localCheckpoint forces a separate execution and ReuseExchange
+        // does not span executions, so without its own checkpoint the
+        // out-degree shuffle would run once PER iteration.
         val deg = edges.groupBy("src").agg(count(lit(1)).cast("double").as("dg"))
+          .localCheckpoint()
+        // Float contract (QueryUtil scaladoc): the per-dst contribution
+        // sum is an order-sensitive double fold, like q72/q88's log
+        // sums — the 6dp output round absorbs accumulation-order ulps.
         var r = nodes.select(col("h"), lit(1.0 / n).as("r"))
         for (_ <- 1 to 5) {
           val contrib = edges
@@ -452,7 +464,6 @@ object WebOps {
     // is still the small side (bucket/bloom it by host if not).
     ("q90_robots_filter",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val hosts = s.range(5)
           .select(col("id"), concat(lit("https://site"), col("id"), lit(".com")).as("host"))
         val base = hosts.select(col("id"), col("host"), explode(array(
@@ -471,16 +482,26 @@ object WebOps {
             .when(col("doc_id") % 4 === 1, concat(lit("/private/"), col("doc_id")))
             .when(col("doc_id") % 4 === 2, concat(lit("/public/docs/"), col("doc_id")))
             .otherwise(concat(lit("/tmp/"), col("doc_id"))).as("path"))
-        val winners = urls.join(broadcast(rules), Seq("host"))
-          .where(expr("startswith(path, rule_path)"))
-          .withColumn("rk", row_number().over(Window.partitionBy("doc_id")
-            .orderBy(length(col("rule_path")).desc, col("action"), col("rule_path"))))
-          .where(col("rk") === 1)
-          .select(col("doc_id"), col("rule_path"), col("action"))
-        urls.join(winners, Seq("doc_id"), "left")
+        // Genuinely map-only: the rule SETS broadcast (one array per
+        // host), each url filters its host's rules by prefix and takes
+        // the argmax per row via array_max over (len, is_allow, path)
+        // structs — lexicographic struct order IS the REP precedence
+        // (longest first, Allow beats Disallow on equal length; a full
+        // (len, action) tie forces identical rule strings, since a
+        // prefix of a given length is unique). No window, no second
+        // join: the url table is never shuffled (the final orderBy is
+        // presentation, dropped at production scale).
+        val rulesByHost = rules.groupBy("host")
+          .agg(collect_list(struct(col("rule_path"), col("action"))).as("rs"))
+        urls.join(broadcast(rulesByHost), Seq("host"), "left")
+          .withColumn("w", array_max(transform(
+            filter(col("rs"), r => startswith(col("path"), r.getField("rule_path"))),
+            r => struct(length(r.getField("rule_path")).as("l"),
+              (r.getField("action") === "allow").as("al"),
+              r.getField("rule_path").as("rp")))))
           .select(col("doc_id"), col("path"),
-            coalesce(col("rule_path"), lit("")).as("matched_rule"),
-            coalesce(col("action") === "allow", lit(true)).as("allowed"))
+            coalesce(col("w.rp"), lit("")).as("matched_rule"),
+            coalesce(col("w.al"), lit(true)).as("allowed"))
           .orderBy("doc_id")
       },
       Some("""WITH hosts AS (SELECT i AS id, 'https://site' || i || '.com' AS host

@@ -167,7 +167,15 @@ class WebOpsSpec extends SparkSuite {
 
   test("q90 robots filter: closed-form REP precedence per planted path family") {
     val d1 = "/root/testdata/sf0.001"
-    val rows = SparkEntry.queries("q90_robots_filter")(spark, d1)
+    val df = SparkEntry.queries("q90_robots_filter")(spark, d1)
+    // The documented scale shape, asserted: rules broadcast, argmax is
+    // per-row array math — the url table is never hash/sort-merge
+    // shuffled and no window operator appears (the only exchange is
+    // the presentation orderBy's range partitioning).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rules must broadcast")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+    val rows = df
       .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
     assert(rows.nonEmpty)
     rows.foreach { case (id, path, rule, allowed) =>
