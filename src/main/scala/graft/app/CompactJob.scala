@@ -31,7 +31,8 @@ import org.apache.spark.sql.SparkSession
   * shuffle; buckets rewrite independently, so a scheduler can spread
   * them across a cluster or run them incrementally.
   *
-  * Usage: CompactJob --in DIR [--target-bytes N] (default 128 MiB)
+  * Usage: CompactJob --in DIR [--target-bytes N] [--sort c1,c2]
+  * (default target 128 MiB; --sort clusters each rewritten partition)
   */
 object CompactJob {
 
@@ -65,9 +66,18 @@ object CompactJob {
         else None
       }.toSeq.sortBy(_.bucket)
 
-  /** Compacts in place; returns (bucketsCompacted, filesBefore, filesAfter). */
+  /** Compacts in place; returns (bucketsCompacted, filesBefore, filesAfter).
+    *
+    * `sortCols` additionally CLUSTERS each rewritten partition
+    * (sortWithinPartitions) — compaction is the one moment the data is
+    * being rewritten anyway, so locality comes shuffle-free: sorted
+    * row groups give parquet min/max stats that let later scans with
+    * a predicate on the sort key skip row groups wholesale (the same
+    * reason Iceberg/Delta pair rewrite-files with a sort order).
+    */
   def run(spark: SparkSession, inDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      sortCols: Seq[String] = Nil): (Int, Int, Int) = {
     val root = new Path(inDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recover(fs, root)
@@ -76,8 +86,9 @@ object CompactJob {
       val live = new Path(root, p.bucket)
       val tmp = new Path(root, p.bucket + ".compact_tmp")
       val old = new Path(root, p.bucket + ".compact_old")
-      spark.read.parquet(live.toString)
-        .coalesce(p.outFiles)
+      val df = spark.read.parquet(live.toString).coalesce(p.outFiles)
+      (if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+       else df)
         .write.mode("overwrite").parquet(tmp.toString)
       require(fs.rename(live, old), s"rename live->old failed for ${p.bucket}")
       require(fs.rename(tmp, live), s"rename tmp->live failed for ${p.bucket}")
@@ -87,19 +98,20 @@ object CompactJob {
   }
 
   def main(argv: Array[String]): Unit = {
-    var in = ""; var target = 128L * 1024 * 1024
+    var in = ""; var target = 128L * 1024 * 1024; var sort = Seq.empty[String]
     var i = 0
     while (i < argv.length) {
       argv(i) match {
         case "--in" => in = argv(i + 1); i += 2
         case "--target-bytes" => target = argv(i + 1).toLong; i += 2
+        case "--sort" => sort = argv(i + 1).split(",").toSeq; i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
     require(in.nonEmpty, "--in is required")
     val spark = SparkUtil.session("graft-compact")
     val t0 = System.nanoTime()
-    val (n, before, after) = run(spark, in, target)
+    val (n, before, after) = run(spark, in, target, sort)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"job":"compact","buckets_compacted":$n,"files_before":$before,"files_after":$after,"sec":$secs%.3f}""")
     spark.stop()

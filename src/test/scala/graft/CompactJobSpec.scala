@@ -45,6 +45,23 @@ class CompactJobSpec extends SparkSuite {
     assert(partFiles(dir).size == 6)
   }
 
+  test("--sort clusters each rewritten partition (rows come back ordered)") {
+    import spark.implicits._
+    val dir = tmpDir("compact_sort")
+    mkFragmented(dir, buckets = 3, filesPer = 4)
+    val (n, _, _) = CompactJob.run(spark, dir, sortCols = Seq("text"))
+    assert(n == 3)
+    (0 until 3).foreach { b =>
+      // One file per bucket after compaction → read order is file
+      // order; the sort key must be non-decreasing, which is what
+      // gives parquet row-group min/max stats their pruning power.
+      val texts = spark.read.parquet(s"$dir/bucket=$b").select("text")
+        .as[String].collect().toSeq
+      assert(texts == texts.sorted, s"bucket $b not clustered")
+    }
+    assert(spark.read.parquet(s"$dir/bucket=*").count() == 120)
+  }
+
   test("recovery restores a bucket stranded mid-swap and drops stale tmp/old dirs") {
     val dir = tmpDir("compact_rec")
     mkFragmented(dir, buckets = 2, filesPer = 3)
