@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   *   ExtractJob (--rows N [--seed S] | --input path) --out DIR
   *     [--checkpoint DIR] [--run-id ID] [--quality q] [--lang xx]
   *     [--buckets B] [--wave-size W] [--repartition N] [--slim]
-  *     [--notify PATH]
+  *     [--notify PATH] [--compact-target BYTES]
   */
 object ExtractJob {
 
@@ -63,7 +63,12 @@ object ExtractJob {
       // filesystem is the sandbox-safe delivery seam — in a cluster
       // deployment the same payload goes to the webhook URL; consumers
       // watch for the file exactly as they would receive the POST.
-      notifyPath: String = "")
+      notifyPath: String = "",
+      // Post-job small-file compaction (CompactJob.run on the output):
+      // an incremental corpus accretes one part file per wave per
+      // bucket; compacting while the job still owns the table avoids a
+      // separate maintenance window. 0 = off.
+      compactTarget: Long = 0L)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -85,6 +90,7 @@ object ExtractJob {
         case "--input-format" => a = a.copy(inputFormat = argv(i + 1)); i += 2
         case "--slim" => a = a.copy(slim = true); i += 1
         case "--notify" => a = a.copy(notifyPath = argv(i + 1)); i += 2
+        case "--compact-target" => a = a.copy(compactTarget = argv(i + 1).toLong); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -253,6 +259,9 @@ object ExtractJob {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
     val result = allRows.result()
+    // Compaction runs BEFORE the completion notification: a consumer
+    // triggered by --notify must see the final file layout.
+    if (a.compactTarget > 0) CompactJob.run(spark, a.out, a.compactTarget)
     if (a.notifyPath.nonEmpty) notifyCompletion(a, result)
     result
   }

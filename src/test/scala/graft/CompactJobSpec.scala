@@ -62,6 +62,24 @@ class CompactJobSpec extends SparkSuite {
     assert(spark.read.parquet(s"$dir/bucket=*").count() == 120)
   }
 
+  test("ExtractJob --compact-target folds compaction into the job run") {
+    import graft.app.ExtractJob
+    val frag = tmpDir("xjob_frag")
+    val tidy = tmpDir("xjob_tidy")
+    // no-write-shuffle + repartition fragments each bucket (one file
+    // per input partition) — the layout an incremental corpus accretes.
+    ExtractJob.run(spark, ExtractJob.Args(rows = 600, out = frag, buckets = 4,
+      writeShuffle = false, repartition = 5))
+    assert(partFiles(frag).size > 4)
+    ExtractJob.run(spark, ExtractJob.Args(rows = 600, out = tidy, buckets = 4,
+      writeShuffle = false, repartition = 5, compactTarget = 128L * 1024 * 1024))
+    assert(partFiles(tidy).size == 4, partFiles(tidy).mkString(","))
+    // Identical content either way.
+    val a = spark.read.parquet(s"$frag/bucket=*").select("url").collect().map(_.getString(0)).sorted
+    val b = spark.read.parquet(s"$tidy/bucket=*").select("url").collect().map(_.getString(0)).sorted
+    assert(a.sameElements(b))
+  }
+
   test("recovery restores a bucket stranded mid-swap and drops stale tmp/old dirs") {
     val dir = tmpDir("compact_rec")
     mkFragmented(dir, buckets = 2, filesPer = 3)
