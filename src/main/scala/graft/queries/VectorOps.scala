@@ -29,7 +29,7 @@ object VectorOps {
     * for every one of the O(n²) pairs. All math in double on both
     * engines.
     */
-  private def emb(s: SparkSession, d: String): DataFrame = {
+  private[graft] def emb(s: SparkSession, d: String): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(s)
     tbl(s, d, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -42,22 +42,130 @@ object VectorOps {
   private def dot(a: String, b: String) =
     call_function("vector_dot", col(a), col(b))
 
-  /** Sign bit ('1'/'0') of dot(v, hyperplane p) — the md5-derived
-    * deterministic hyperplane family SHARED by q30 (bucket keys) and
-    * q74 (banded near-dup): weight for (plane p, dim i) = first md5 hex
-    * digit of "p:i" minus 7.5. FP caveat, shared with the oracles: the
+  /** The md5-derived deterministic hyperplane family SHARED by q30
+    * (bucket keys) and q74/q74p/q30p (banded near-dup): weight for
+    * (plane p, dim i) = first md5 hex digit of "p:i" (ascii % 16)
+    * minus 7.5. Computed ONCE driver-side and shipped as a literal
+    * matrix — the round-4 formulation evaluated planes×dim md5 hashes
+    * PER ROW inside codegen (pure constant work; it dominated the
+    * signature stage and made q74 the slowest bench query). Spark's
+    * `md5()` and DuckDB's `md5()` emit the same lowercase hex, so the
+    * family — and every oracle, which still derives it in SQL — is
+    * unchanged bit-for-bit. FP caveat, shared with the oracles: the
     * Spark fold is sequential while DuckDB's grouped sum order is
     * unspecified, so a projection within float-epsilon of 0 could band
     * differently cross-engine — with these integer-derived weights and
-    * 64 dims the projections sit far from 0, and three rounds of green
+    * 64 dims the projections sit far from 0, and four rounds of green
     * q30 rows pin that empirically.
     */
-  private def hyperplaneBit(p: Column, v: Column): Column =
-    when(aggregate(zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * ((ascii(substring(
-          md5(concat(p.cast("string"), lit(":"), i.cast("string"))), 1, 1))
-          % 16).cast("double") - 7.5)),
+  private[graft] def planeWeight(p: Int, i: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$p:$i".getBytes("UTF-8"))
+    val c = "0123456789abcdef".charAt((d(0) >> 4) & 0xf)
+    (c.toInt % 16) - 7.5
+  }
+
+  /** planes×dim literal weight matrix (1-indexed via element_at). */
+  private def weightMatrix(planes: Int, dim: Int): Column =
+    typedLit((0 until planes).map(p => (0 until dim).map(i => planeWeight(p, i))))
+
+  /** Sign bit ('1'/'0') of dot(v, row p of weight matrix w). Same
+    * left-fold order as the round-4 per-row-md5 form, so the produced
+    * bits are bit-identical.
+    */
+  private def hyperplaneBit(w: Column, p: Column, v: Column): Column =
+    when(aggregate(zip_with(v, element_at(w, (p + 1).cast("int")),
+        (x, wi) => x * wi),
       lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
+
+  /** Leading dimension of the embeddings table (one-row probe; the
+    * weight matrix must be built to the corpus's true dim).
+    */
+  private def embDim(s: SparkSession, d: String): Int =
+    tbl(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
+
+  /** Corpus-size-parameterized band width for hyperplane-LSH banding:
+    * the smallest b in [4,16] with n ≤ 32·2^b, i.e. expected bucket
+    * occupancy ≤ 32 vectors per band. Pure integer ladder (no log2 FP
+    * boundary risk cross-engine); `bandBitsSql` is its verbatim SQL
+    * mirror. 4 bits at the 500-vector test SF, 16 bits from ~1M vectors
+    * up — at the 10^12 design point every band key is 16 bits and
+    * candidate volume tracks corpus size instead of exploding O(n²/16)
+    * the way a fixed 4-bit key would.
+    */
+  private[graft] def bandBits(n: Long): Int = {
+    var b = 4
+    while (b < 16 && n > (32L << b)) b += 1
+    b
+  }
+
+  private val bandBitsSql: String =
+    (4 to 15).map(b => s"WHEN n <= ${32L << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 16 END")
+
+  /** Banded hyperplane-LSH near-dup pairs — the shared engine of q74
+    * (fixed 4×4 small-corpus banding), q74p (corpus-size-parameterized
+    * band width) and q30p (OR-ed 8-bit tables; OR-amplification over L
+    * tables IS banding with `bands = L`, `bits = 8` — one mechanism,
+    * two tuning conventions). Input `e` must carry (vec_id, v, nrm).
+    * Plane family: band b, bit k uses hyperplane index b*bits+k from
+    * the shared md5-derived family (`hyperplaneBit`), so any (bands,
+    * bits) choice is deterministic and oracle-mirrorable. Shuffles
+    * carry (band_id, bits-wide key, vec_id); vectors move only for
+    * candidates, and every emitted pair passed the exact cosine
+    * verify (sound by construction; recall is the measured knob —
+    * VectorOpsLshSpec).
+    */
+  private[graft] def bandedPairs(e: DataFrame, bands: Int, bits: Int,
+      threshold: Double, dim: Int = 64): DataFrame = {
+    val w = weightMatrix(bands * bits, dim)
+    val sig = e.select(col("vec_id"),
+      transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("", transform(sequence(lit(0), lit(bits - 1)), k =>
+          hyperplaneBit(w, b * bits + k, col("v"))))).as("bands"))
+    val bandsDf = sig.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("band_id", "band_key")))
+    val cand = bandsDf.toDF("vid_a", "band_id", "band_key")
+      .join(bandsDf.toDF("vid_b", "band_id", "band_key"), Seq("band_id", "band_key"))
+      .where(col("vid_a") < col("vid_b"))
+      .select("vid_a", "vid_b").distinct()
+    cand
+      .join(e.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na")), Seq("vid_a"))
+      .join(e.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid_b"))
+      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select("vid_a", "vid_b")
+      .orderBy("vid_a", "vid_b")
+  }
+
+  /** SQL mirror of `bandedPairs` over the `embeddings` table: `planes`
+    * and `bits` are SQL expressions (literals or scalar subqueries) so
+    * q74p can derive the band width from `count(*)` inside the oracle
+    * itself, exactly as the Spark side derives it from `.count()`.
+    */
+  private def bandedPairsSql(planesExpr: String, bitsExpr: String,
+      threshold: String): String =
+    s"""WITH n_ AS (SELECT count(*) AS n FROM embeddings),
+       cfg AS (SELECT $bitsExpr AS bits, $planesExpr AS planes FROM n_),
+       e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding,1) - 1 AS i FROM embeddings),
+       s AS (SELECT vec_id, p.p,
+               sum(v * (CAST(ascii(substr(md5(p.p || ':' || i), 1, 1)) % 16 AS DOUBLE) - 7.5)) AS proj
+             FROM e CROSS JOIN (SELECT unnest(range((SELECT planes FROM cfg))) AS p) p
+             GROUP BY vec_id, p.p),
+       k AS (SELECT vec_id, p // (SELECT bits FROM cfg) AS band_id,
+               string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
+             FROM s GROUP BY vec_id, p // (SELECT bits FROM cfg)),
+       cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
+                FROM k a JOIN k b ON a.band_id = b.band_id
+                  AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
+       cs AS (SELECT c.vid_a, c.vid_b,
+                sum(ea.v*eb.v)/(sqrt(sum(ea.v*ea.v))*sqrt(sum(eb.v*eb.v))) AS cos
+              FROM cand c JOIN e ea ON ea.vec_id = c.vid_a
+              JOIN e eb ON eb.vec_id = c.vid_b AND eb.i = ea.i
+              GROUP BY 1,2)
+       SELECT vid_a, vid_b FROM cs WHERE cos >= $threshold
+       ORDER BY vid_a, vid_b"""
 
   /** Data-derived IVF centroids (replaces round-2's md5-derived ones,
     * whose recall was unrepresentative — BENCH.md measured 1/30
@@ -184,10 +292,11 @@ object VectorOps {
     // buckets — no all-pairs join).
     ("q30_lsh_buckets",
       (s, d) => {
+        val w = weightMatrix(8, embDim(s, d))
         emb(s, d)
           .withColumn("bucket",
             concat_ws("", transform(sequence(lit(0), lit(7)),
-              b => hyperplaneBit(b, col("v")))))
+              b => hyperplaneBit(w, b, col("v")))))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
           .orderBy("bucket")
@@ -310,52 +419,52 @@ object VectorOps {
     // EXACTLY; the retrieval quality is MEASURED against the q31 brute
     // baseline and reported, not assumed (QueryOpsSpec: recall 29/59 =
     // 0.49 at this corpus's low 0.4 threshold — random-hyperplane LSH
-    // is genuinely weak at 66° angles; production near-dup runs at
-    // cos ≥ 0.9 where 4×4 banding recalls ≥0.95, and widens band keys
-    // to 16-32 bits so bucket sizes — fixed at 16 per band here, a
-    // small-corpus artifact — track corpus size). Shuffles carry
-    // (band_id, 4-bit key, vec_id); vectors move only for verified
-    // candidates.
+    // is genuinely weak at 66° angles). The fixed 4-bit key is a
+    // SMALL-CORPUS TEACHING VARIANT (16 buckets/band → O(n²/16)
+    // candidates); the production path is q74p below, whose band width
+    // follows corpus size (`bandBits`), and whose ≥0.95 recall at the
+    // production cos ≥ 0.9 operating point is measured with 16-bit
+    // keys in VectorOpsLshSpec.
     ("q74_embedding_neardup_lsh",
+      (s, d) => bandedPairs(emb(s, d), bands = 4, bits = 4, threshold = 0.4, dim = embDim(s, d)),
+      Some(bandedPairsSql(planesExpr = "16", bitsExpr = "4", threshold = "0.4"))),
+
+    // ---- PRODUCTION banded embedding near-dup (q74's scale fix): band
+    // width derived from corpus size — smallest b in [4,16] with
+    // n ≤ 32·2^b (`bandBits`; 2^b buckets per band ⇒ expected bucket
+    // occupancy ≤32, so candidate volume stays ~O(n) at any scale; at
+    // the 10^12 design point keys are 16-bit), 6 bands for recall
+    // amplification (recall = 1-(1-p^bits)^6). The DuckDB oracle
+    // derives bits from count(*) through the IDENTICAL integer ladder,
+    // so the adaptive banding is pinned bit-for-bit at every SF the
+    // driver runs. Retrieval quality at the production operating point
+    // (16-bit keys, cos ≥ 0.9 near-dups) is MEASURED ≥0.95 against the
+    // brute baseline on a planted-duplicate corpus in VectorOpsLshSpec;
+    // this testdata run keeps the 0.4 threshold so the output is
+    // non-degenerate at small SF.
+    ("q74p_embedding_neardup_banded",
       (s, d) => {
-        val e = emb(s, d)
-        val sig = e.select(col("vec_id"),
-          transform(sequence(lit(0), lit(3)), b =>
-            concat_ws("", transform(sequence(lit(0), lit(3)), k =>
-              hyperplaneBit(b * 4 + k, col("v"))))).as("bands"))
-        val bands = sig.select(col("vec_id"),
-          posexplode(col("bands")).as(Seq("band_id", "band_key")))
-        val cand = bands.toDF("vid_a", "band_id", "band_key")
-          .join(bands.toDF("vid_b", "band_id", "band_key"), Seq("band_id", "band_key"))
-          .where(col("vid_a") < col("vid_b"))
-          .select("vid_a", "vid_b").distinct()
-        cand
-          .join(e.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na")), Seq("vid_a"))
-          .join(e.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid_b"))
-          .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
-          .where(col("cos") >= 0.4)
-          .select("vid_a", "vid_b")
-          .orderBy("vid_a", "vid_b")
+        val n = tbl(s, d, "embeddings").count()
+        bandedPairs(emb(s, d), bands = 6, bits = bandBits(n), threshold = 0.4, dim = embDim(s, d))
       },
-      Some("""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-                           generate_subscripts(embedding,1) - 1 AS i FROM embeddings),
-             s AS (SELECT vec_id, p.p,
-                     sum(v * (CAST(ascii(substr(md5(p.p || ':' || i), 1, 1)) % 16 AS DOUBLE) - 7.5)) AS proj
-                   FROM e CROSS JOIN (SELECT unnest(range(16)) AS p) p
-                   GROUP BY vec_id, p.p),
-             k AS (SELECT vec_id, p // 4 AS band_id,
-                     string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band_key
-                   FROM s GROUP BY vec_id, p // 4),
-             cand AS (SELECT DISTINCT a.vec_id AS vid_a, b.vec_id AS vid_b
-                      FROM k a JOIN k b ON a.band_id = b.band_id
-                        AND a.band_key = b.band_key AND a.vec_id < b.vec_id),
-             cs AS (SELECT c.vid_a, c.vid_b,
-                      sum(ea.v*eb.v)/(sqrt(sum(ea.v*ea.v))*sqrt(sum(eb.v*eb.v))) AS cos
-                    FROM cand c JOIN e ea ON ea.vec_id = c.vid_a
-                    JOIN e eb ON eb.vec_id = c.vid_b AND eb.i = ea.i
-                    GROUP BY 1,2)
-             SELECT vid_a, vid_b FROM cs WHERE cos >= 0.4
-             ORDER BY vid_a, vid_b""")),
+      Some(bandedPairsSql(
+        planesExpr = s"6 * ($bandBitsSql)",
+        bitsExpr = bandBitsSql,
+        threshold = "0.4"))),
+
+    // ---- OR-amplified hyperplane LSH (the q30 note's missing
+    // amplification, shipped): L=4 independent 8-bit tables — table t
+    // hashes with planes t*8..t*8+7 (table 0 IS q30's bucket key) and a
+    // pair is a candidate if it collides in ANY table. OR-ing L tables
+    // is algebraically banding with bands=L, bits=8, so this shares
+    // `bandedPairs`; the knob conventions differ (ANN tables fix the
+    // key width and buy recall with more tables; near-dup banding grows
+    // the key width with the corpus). Recall-vs-L curve (L=1,2,4,8) is
+    // measured against the brute baseline in VectorOpsLshSpec and
+    // reported in BENCH.md, mirroring the IVF probe-curve treatment.
+    ("q30p_lsh_ortables",
+      (s, d) => bandedPairs(emb(s, d), bands = 4, bits = 8, threshold = 0.4, dim = embDim(s, d)),
+      Some(bandedPairsSql(planesExpr = "32", bitsExpr = "8", threshold = "0.4"))),
 
     // ---- All-pairs cosine near-dup (embedding near-duplicate detection
     // baseline; ids only — rank order is FP-stable, raw scores are not).
