@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   *   ExtractJob (--rows N [--seed S] | --input path) --out DIR
   *     [--checkpoint DIR] [--run-id ID] [--quality q] [--lang xx]
   *     [--buckets B] [--wave-size W] [--repartition N] [--slim]
-  *     [--notify PATH] [--compact-target BYTES]
+  *     [--notify PATH] [--notify-url URL] [--compact-target BYTES]
   */
 object ExtractJob {
 
@@ -64,6 +64,14 @@ object ExtractJob {
       // deployment the same payload goes to the webhook URL; consumers
       // watch for the file exactly as they would receive the POST.
       notifyPath: String = "",
+      // I4 transport parity with the reference's fire-and-forget webhook
+      // (service/jobs.py:231-247 POSTs {job_id,status,...} and ignores
+      // failures): POST the same one-line JSON summary to this URL.
+      // Independent of --notify; both may be set. Failures are logged,
+      // never fatal, and never retried — exactly the reference's
+      // contract. (Orchestrators that can't receive HTTP use the file
+      // seam instead.)
+      notifyUrl: String = "",
       // Post-job small-file compaction (CompactJob.run on the output):
       // an incremental corpus accretes one part file per wave per
       // bucket; compacting while the job still owns the table avoids a
@@ -90,6 +98,7 @@ object ExtractJob {
         case "--input-format" => a = a.copy(inputFormat = argv(i + 1)); i += 2
         case "--slim" => a = a.copy(slim = true); i += 1
         case "--notify" => a = a.copy(notifyPath = argv(i + 1)); i += 2
+        case "--notify-url" => a = a.copy(notifyUrl = argv(i + 1)); i += 2
         case "--compact-target" => a = a.copy(compactTarget = argv(i + 1).toLong); i += 2
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
@@ -157,7 +166,7 @@ object ExtractJob {
       Checkpoint.completedBuckets(spark, a.checkpoint, a.runId) else Set.empty[Int]
     val remaining = (0 until a.buckets).filterNot(done)
     if (remaining.isEmpty) {
-      if (a.notifyPath.nonEmpty) notifyCompletion(a, Nil)
+      notifyCompletion(a, Nil)
       return Nil
     }
 
@@ -262,32 +271,35 @@ object ExtractJob {
     // Compaction runs BEFORE the completion notification: a consumer
     // triggered by --notify must see the final file layout.
     if (a.compactTarget > 0) CompactJob.run(spark, a.out, a.compactTarget)
-    if (a.notifyPath.nonEmpty) notifyCompletion(a, result)
+    notifyCompletion(a, result)
     result
   }
 
-  /** I4: write the completion notification (atomic tmp+rename; see the
-    * `notify` arg doc). Failures are logged, never fatal — notification
-    * is fire-and-forget like the reference's webhook POST.
+  /** I4: deliver the completion notification over the configured
+    * transports — atomic file write (`--notify`) and/or HTTP POST
+    * (`--notify-url`, the reference's webhook contract,
+    * service/jobs.py:231-247). Each transport fails independently and
+    * non-fatally: notification is fire-and-forget on both paths.
     */
-  private[app] def notifyCompletion(a: Args, rows: Seq[LineageRow]): Unit =
-    try {
-      val docs = rows.map(_.docs).sum
-      val errors = rows.map(_.error_docs).sum
-      val status = if (rows.nonEmpty) "completed" else "noop"
-      // run_id/out are caller-supplied — escape them or a quote in a
-      // path produces an unparseable notification for a job that
-      // actually succeeded.
-      def js(s: String): String = s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"
-        case c => c.toString
-      }
-      val json =
-        s"""{"job":"extract","run_id":"${js(a.runId)}","status":"$status",""" +
-        s""""docs":$docs,"error_docs":$errors,"buckets_done":${rows.length},""" +
-        s""""out":"${js(a.out)}"}"""
+  private[app] def notifyCompletion(a: Args, rows: Seq[LineageRow]): Unit = {
+    if (a.notifyPath.isEmpty && a.notifyUrl.isEmpty) return
+    val docs = rows.map(_.docs).sum
+    val errors = rows.map(_.error_docs).sum
+    val status = if (rows.nonEmpty) "completed" else "noop"
+    // run_id/out are caller-supplied — escape them or a quote in a
+    // path produces an unparseable notification for a job that
+    // actually succeeded.
+    def js(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    val json =
+      s"""{"job":"extract","run_id":"${js(a.runId)}","status":"$status",""" +
+      s""""docs":$docs,"error_docs":$errors,"buckets_done":${rows.length},""" +
+      s""""out":"${js(a.out)}"}"""
+    if (a.notifyPath.nonEmpty) try {
       val target = java.nio.file.Paths.get(a.notifyPath)
       if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
       val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
@@ -299,6 +311,29 @@ object ExtractJob {
       case e: Exception =>
         System.err.println(s"[extract] notify failed (non-fatal): ${e.getMessage}")
     }
+    if (a.notifyUrl.nonEmpty) try {
+      val conn = new java.net.URL(a.notifyUrl).openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      // Bounded timeouts: a dead receiver must not hang job completion —
+      // the reference's POST is equally best-effort.
+      conn.setConnectTimeout(5000)
+      conn.setReadTimeout(5000)
+      conn.setRequestMethod("POST")
+      conn.setRequestProperty("Content-Type", "application/json")
+      conn.setDoOutput(true)
+      val body = json.getBytes("UTF-8")
+      conn.setFixedLengthStreamingMode(body.length)
+      val os = conn.getOutputStream
+      try os.write(body) finally os.close()
+      val code = conn.getResponseCode // forces the exchange
+      if (code < 200 || code >= 300)
+        System.err.println(s"[extract] notify-url returned $code (non-fatal)")
+      conn.disconnect()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[extract] notify-url failed (non-fatal): ${e.getMessage}")
+    }
+  }
 
   def main(argv: Array[String]): Unit = {
     val a = parseArgs(argv)

@@ -123,6 +123,43 @@ class ExtractJobSpec extends SparkSuite {
     assert(json2.contains(""""status":"noop""""))
   }
 
+  test("--notify-url POSTs the completion summary (I4 webhook parity)") {
+    // Local-socket receiver (JDK HttpServer, loopback only) — the
+    // reference's webhook contract (service/jobs.py:231-247) without
+    // external network.
+    val received = new java.util.concurrent.LinkedBlockingQueue[(String, String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/hook", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      received.put((ex.getRequestMethod,
+        ex.getRequestHeaders.getFirst("Content-Type"), body))
+      ex.sendResponseHeaders(200, 2)
+      val os = ex.getResponseBody; os.write("ok".getBytes); os.close()
+    })
+    server.start()
+    try {
+      val out = tmpDir("xjob-hook")
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/hook"
+      val rows = ExtractJob.run(spark,
+        Args(rows = 200, out = out, buckets = 4, notifyUrl = url))
+      val (method, ctype, body) = received.poll(10, java.util.concurrent.TimeUnit.SECONDS)
+      assert(method == "POST")
+      assert(ctype == "application/json")
+      assert(body.contains(""""job":"extract""""))
+      assert(body.contains(""""status":"completed""""))
+      assert(body.contains(s""""docs":${rows.map(_.docs).sum}"""))
+
+      // A dead receiver is non-fatal: the job still completes (the
+      // reference swallows webhook failures the same way).
+      server.stop(0)
+      val out2 = tmpDir("xjob-hook2")
+      val rows2 = ExtractJob.run(spark,
+        Args(rows = 100, out = out2, buckets = 2, notifyUrl = url))
+      assert(rows2.nonEmpty && spark.read.parquet(out2).count() > 0)
+    } finally server.stop(0)
+  }
+
   test("lang filter is pushed before the kernel and respected") {
     val out = tmpDir("xjob-lang")
     ExtractJob.run(spark, Args(rows = N, out = out, buckets = 4, lang = "de"))
