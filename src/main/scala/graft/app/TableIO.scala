@@ -15,8 +15,13 @@ object TableIO {
 
   def format: String = sys.env.getOrElse("SPARK_GRAFT_TABLE_FORMAT", "parquet")
 
+  /** Parquet reads resolve per-bucket compaction manifests (ManifestIO —
+    * no-op fast path when none exist); real table formats own their own
+    * manifests, so non-parquet formats load directly.
+    */
   def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.format(format).load(path)
+    if (format == "parquet") ManifestIO.read(spark, path)
+    else spark.read.format(format).load(path)
 
   /** Append rows (lineage/metrics tables). */
   def append(df: DataFrame, path: String): Unit =
