@@ -38,10 +38,15 @@ object Verify {
           (f.isDirectory && queryDirName.matches(f.getName) &&
             Option(f.list()).exists(_.forall(n =>
               n.endsWith(".parquet") || n.endsWith(".crc") || n.startsWith("_") || n.startsWith("."))))
-      require(entries.isEmpty || marker.exists() || entries.forall(looksLikeVerifyArtifact),
+      // Unmarked dirs additionally require oracle_sql.json — every prior
+      // Verify run wrote it, and a user data directory of coincidentally
+      // query-shaped parquet dirs won't have it (ADVICE r4).
+      val unmarkedIsVerifyOutput = entries.forall(looksLikeVerifyArtifact) &&
+        entries.exists(_.getName == "oracle_sql.json")
+      require(entries.isEmpty || marker.exists() || unmarkedIsVerifyOutput,
         s"refusing to clean non-empty $outDir: it is not a previous Verify " +
-          "output (no .graft_verify marker and foreign entries present). " +
-          "Pick an empty or fresh directory.")
+          "output (no .graft_verify marker, and no oracle_sql.json beside " +
+          "query-shaped dirs). Pick an empty or fresh directory.")
       import scala.reflect.io.Directory
       entries.foreach(f => new Directory(f).deleteRecursively())
     }
