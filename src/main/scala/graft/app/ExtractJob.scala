@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   *   ExtractJob (--rows N [--seed S] | --input path) --out DIR
   *     [--checkpoint DIR] [--run-id ID] [--quality q] [--lang xx]
   *     [--buckets B] [--wave-size W] [--repartition N] [--slim]
-  *     [--notify PATH] [--notify-url URL] [--compact-target BYTES]
+  *     [--notify PATH] [--notify-url URL] [--compact-target BYTES] [--two-pass]
   */
 object ExtractJob {
 
@@ -76,7 +76,12 @@ object ExtractJob {
       // an incremental corpus accretes one part file per wave per
       // bucket; compacting while the job still owns the table avoids a
       // separate maintenance window. 0 = off.
-      compactTarget: Long = 0L)
+      compactTarget: Long = 0L,
+      // K6 two-pass cascade (TwoPass.extract): cheap `fast` kernel over
+      // everything, `accurate` re-extraction of the docs pass 1 flags,
+      // better result kept per url (adds a `pass` column to the output
+      // schema).
+      twoPass: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -100,6 +105,7 @@ object ExtractJob {
         case "--notify" => a = a.copy(notifyPath = argv(i + 1)); i += 2
         case "--notify-url" => a = a.copy(notifyUrl = argv(i + 1)); i += 2
         case "--compact-target" => a = a.copy(compactTarget = argv(i + 1).toLong); i += 2
+        case "--two-pass" => a = a.copy(twoPass = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -216,8 +222,9 @@ object ExtractJob {
       // Project to the kernel's input columns BEFORE the opaque stage:
       // the parquet scan then skips `text`/`warc_ts` entirely (the
       // deserializer for the full Page row would force-read them).
-      val recs0 = extractKernel(
-          sub.select("url", "html", "lang").as[KernelPage], a.quality, a.slim)
+      val kernelIn = sub.select("url", "html", "lang").as[KernelPage]
+      val recs0 = (if (a.twoPass) TwoPass.extract(kernelIn, secondQuality = a.quality, slim = a.slim)
+                   else extractKernel(kernelIn, a.quality, a.slim))
         .withColumn("bucket", bucketExpr(a.buckets))
       // Cluster output files by bucket: one exchange of the COMPACT
       // post-kernel records (raw html never shuffles — it's dropped by

@@ -571,6 +571,23 @@ object PipelineOps {
           .orderBy("url")
       }, None),
 
+    // ---- K6 two-pass cascade (app.TwoPass): cheap `fast` kernel over
+    // the corpus, `accurate` re-kernel over the docs pass 1 flags
+    // (failed / empty / below-full confidence), better result kept per
+    // url. Pass-1 output selecting pass-2's input IS the reference's
+    // enrich-then-reprocess shape (two_pass_ocr_processor_original.py:
+    // 225-324) minus its out-of-scope LLM prompt. Deterministic but not
+    // SQL-expressible (kernel) → rows-only check here; semantics pinned
+    // by TwoPassSpec.
+    ("x64_two_pass",
+      (s, _) => {
+        import s.implicits._
+        val kp = pages(s, 900).map(p => graft.model.KernelPage(p.url, p.html, p.lang))
+        graft.app.TwoPass.extract(kp)
+          .select("url", "pass", "pdf_type", "word_count", "confidence", "success")
+          .orderBy("url")
+      }, None),
+
     // ---- Multimodal binary kernel: opaque payload bytes → typed
     // metadata via the per-partition header decoder (real container
     // parsing, graft.media.ImageHeaders). Input is the page corpus
