@@ -13,7 +13,14 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object TableIO {
 
-  def format: String = sys.env.getOrElse("SPARK_GRAFT_TABLE_FORMAT", "parquet")
+  /** Format resolution: JVM property first (test seam — env vars can't
+    * be set in-process), then the deployment env var, then parquet.
+    * A cluster run sets SPARK_GRAFT_TABLE_FORMAT=iceberg on the driver
+    * and executors via spark-submit conf.
+    */
+  def format: String =
+    sys.props.getOrElse("graft.table.format",
+      sys.env.getOrElse("SPARK_GRAFT_TABLE_FORMAT", "parquet"))
 
   /** Parquet reads resolve per-bucket compaction manifests (ManifestIO —
     * no-op fast path when none exist); real table formats own their own
