@@ -127,6 +127,23 @@ class QueryOpsSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), s"all-pairs join in q74 plan:\n$plan")
   }
 
+  test("no oracle-checked query returns array/map/struct columns (driver checker contract)") {
+    // The driver's pandas-based hash compare crashes or miscompares on
+    // nested values (q67's postings crash, round 4) — flat scalar
+    // columns only. Schema derivation builds each plan at sf0.001
+    // without collecting results.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.oracleSql.keys.toSeq.sorted.flatMap { name =>
+      val schema = SparkEntry.queries(name)(spark, sf).schema
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, s"nested columns in oracle output: ${offenders.mkString(", ")}")
+  }
+
   test("q29 cosine top-k: self-similar clusters rank first on a known vector") {
     import spark.implicits._
     // Synthetic check independent of testdata: nearest neighbor of
