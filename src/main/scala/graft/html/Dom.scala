@@ -12,6 +12,12 @@ final class Element(
     val tag: String,
     val attrs: Map[String, String],
     val children: ArrayBuffer[DomNode] = new ArrayBuffer[DomNode](4)) extends DomNode {
+  /** Attribute lookup, "" when absent — NOTE: with the default
+    * tokenizer configuration only `<img>` elements carry attributes at
+    * all (StartTag contract), so e.g. `attr("href")` on an `<a>` built
+    * from `HtmlTokenizer.tokenize(html)` returns "" regardless of the
+    * markup; widen `keepAttrsFor` at tokenize time to consume others.
+    */
   def attr(name: String): String = attrs.getOrElse(name, "")
 }
 final case class TextNode(text: String) extends DomNode

@@ -14,6 +14,14 @@ import scala.collection.mutable.ArrayBuffer
   * Unknown/malformed markup degrades to text, never throws.
   */
 sealed trait HtmlToken
+/** A start tag. CONTRACT: `attrs` is populated only for tag names in the
+  * tokenizer's `keepAttrsFor` set — by default ONLY `<img>` (alt text is
+  * the single attribute the extraction engine consumes); for every other
+  * tag `attrs` is empty even when the markup carries attributes (e.g.
+  * `<a href>`), because retaining them would allocate a decoded Map per
+  * tag on the hot path. Pass a wider `keepAttrsFor` to
+  * `HtmlTokenizer.tokenize` if you need other tags' attributes.
+  */
 final case class StartTag(name: String, attrs: Map[String, String], selfClosing: Boolean) extends HtmlToken
 final case class EndTag(name: String) extends HtmlToken
 final case class TextTok(text: String) extends HtmlToken
@@ -89,7 +97,11 @@ object HtmlTokenizer {
     * backing buffer directly — no defensive copy; callers iterate once
     * on the per-document hot path).
     */
-  def tokenize(html: String): scala.collection.IndexedSeq[HtmlToken] = {
+  /** Tags whose attributes are retained by default (see StartTag). */
+  val DefaultKeepAttrs: Set[String] = Set("img")
+
+  def tokenize(html: String,
+      keepAttrsFor: Set[String] = DefaultKeepAttrs): scala.collection.IndexedSeq[HtmlToken] = {
     val out = new ArrayBuffer[HtmlToken](256)
     val n = html.length
     var i = 0
@@ -145,13 +157,13 @@ object HtmlTokenizer {
           val nameStart = j
           while (j < n && isNameChar(html.charAt(j))) j += 1
           val name = lowerSlice(html, nameStart, j)
-          // Parse attributes until '>'. Attribute VALUES are only ever
-          // consumed for <img alt=…> (the single attrs read in the whole
-          // engine) — for every other tag the loop runs the identical
-          // scanning state machine (quoted values may contain '>') but
-          // skips the substring/entity-decode/Map work, which otherwise
-          // allocates per <a href>/<div class> on the hot path.
-          val keepAttrs = name == "img"
+          // Parse attributes until '>'. For tags outside keepAttrsFor
+          // the loop runs the identical scanning state machine (quoted
+          // values may contain '>') but skips the substring/entity-
+          // decode/Map work, which otherwise allocates per
+          // <a href>/<div class> on the hot path (contract: StartTag
+          // scaladoc).
+          val keepAttrs = keepAttrsFor(name)
           var attrs = Map.empty[String, String]
           var selfClosing = false
           var done = false
