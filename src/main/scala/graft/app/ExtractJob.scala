@@ -223,7 +223,12 @@ object ExtractJob {
       // the parquet scan then skips `text`/`warc_ts` entirely (the
       // deserializer for the full Page row would force-read them).
       val kernelIn = sub.select("url", "html", "lang").as[KernelPage]
-      val recs0 = (if (a.twoPass) TwoPass.extract(kernelIn, secondQuality = a.quality, slim = a.slim)
+      // --two-pass is the fast→accurate cascade the Args doc promises:
+      // pass 2 always runs `accurate` (with --quality fast the old
+      // a.quality wiring re-ran the identical fast kernel over the
+      // flagged subset — doubled work, zero rescue). --quality keeps
+      // governing the single-pass path only.
+      val recs0 = (if (a.twoPass) TwoPass.extract(kernelIn, slim = a.slim)
                    else extractKernel(kernelIn, a.quality, a.slim))
         .withColumn("bucket", bucketExpr(a.buckets))
       // Cluster output files by bucket: one exchange of the COMPACT

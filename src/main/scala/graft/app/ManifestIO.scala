@@ -77,28 +77,42 @@ object ManifestIO {
       .rename(tmp, manifestPath(bucketDir), Options.Rename.OVERWRITE)
   }
 
+  /** Exactly `bucket=NN` — NOT the `bucket=NN.compact_stage` /
+    * `.compact_tmp` / `.compact_old` siblings a mid-compaction crash
+    * leaves behind. A prefix match here made a manifest-aware read
+    * count a staged rewrite as an extra legacy bucket and return its
+    * rows twice, violating the protocol's no-duplicates invariant.
+    */
+  private val LiveBucketDir = "^bucket=\\d+$".r
+
   private def bucketDirs(fs: FileSystem, root: Path) =
     fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("bucket="))
+      .filter(s => s.isDirectory && LiveBucketDir.matches(s.getPath.getName))
       .map(_.getPath)
 
   /** Manifest-aware read of a bucket-partitioned parquet table. Fast
     * path: no bucket has a manifest (the overwhelmingly common case —
     * ExtractJob output before any manifest-mode compaction) → plain
-    * directory read, byte-for-byte the previous behavior. Otherwise the
-    * driver resolves each bucket's live file list (O(buckets) metadata
-    * ops) and reads exactly those files; `basePath` keeps the `bucket`
-    * partition column and its pruning.
+    * directory read, byte-for-byte the previous behavior. The probe is
+    * ONE metadata call (server-side glob on HDFS, one prefix LIST on an
+    * object store), not a per-bucket exists sweep — this runs on every
+    * parquet TableIO.read, including ExtractJob's per-wave metrics
+    * read. Otherwise the driver resolves each bucket's live file list
+    * (O(buckets) metadata ops) and reads exactly those files;
+    * `basePath` keeps the `bucket` partition column and its pruning.
     */
   def read(spark: SparkSession, root: String): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val buckets =
-      if (fs.exists(rootPath)) bucketDirs(fs, rootPath) else Array.empty[Path]
-    if (!buckets.exists(b => fs.exists(manifestPath(b))))
+    val manifested =
+      Option(fs.globStatus(new Path(rootPath, "bucket=*/" + ManifestFile)))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getParent.getName)
+        .filter(LiveBucketDir.matches(_))
+    if (manifested.isEmpty)
       spark.read.parquet(root)
     else {
-      val files = buckets.flatMap(b => liveFiles(fs, b)).map(_.toString)
+      val files = bucketDirs(fs, rootPath).flatMap(b => liveFiles(fs, b)).map(_.toString)
       spark.read.option("basePath", root).parquet(files.toIndexedSeq: _*)
     }
   }

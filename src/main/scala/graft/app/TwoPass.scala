@@ -43,10 +43,29 @@ object TwoPass {
   def needsSecondPass: org.apache.spark.sql.Column =
     !col("success") || col("word_count") === 0 || col("confidence") < 1.0
 
+  /** CONTRACT: input must be url-unique — one snapshot per url, the
+    * shape of an extraction results table for one crawl wave. The flag
+    * join and the merge window are keyed by url (the kernel's only
+    * carried identity), so revisit snapshots sharing a url cannot be
+    * re-associated with their pass-1 rows; rather than silently
+    * collapsing them to one output row (or multiplying them through the
+    * flag join), the violation fails loudly below. Dedupe revisits
+    * first — `CorpusPipeline.latestSnapshot` / q77_url_revisit is the
+    * canonical keep-latest pass. The check runs on the CHECKPOINTED
+    * compact pass-1 output (url column only), so it costs one small
+    * aggregation, never a second payload scan.
+    */
   def extract(pages: Dataset[KernelPage], firstQuality: String = "fast",
       secondQuality: String = "accurate", slim: Boolean = false): DataFrame = {
     val pass1 = ExtractJob.extractKernel(pages, firstQuality, slim)
       .localCheckpoint()
+    val dup = pass1.groupBy("url").count()
+      .where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"TwoPass requires url-unique input (one snapshot per url): " +
+        s"'${dup.headOption.map(_.getString(0)).getOrElse("")}' appears " +
+        s"${dup.headOption.map(_.getLong(1)).getOrElse(0L)} times — " +
+        "dedupe revisit snapshots first (CorpusPipeline.latestSnapshot / q77)")
     val flagged = pass1.where(needsSecondPass).select("url")
     val in2 = pages.toDF().join(flagged, Seq("url"))
       .select("url", "html", "lang")

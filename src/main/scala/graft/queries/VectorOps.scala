@@ -79,10 +79,14 @@ object VectorOps {
       lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))
 
   /** Leading dimension of the embeddings table (one-row probe; the
-    * weight matrix must be built to the corpus's true dim).
+    * weight matrix must be built to the corpus's true dim). 0 on an
+    * empty table — the banded queries then carry a 0×planes matrix and
+    * lazily produce their correct empty result instead of throwing at
+    * DataFrame-construction time.
     */
   private def embDim(s: SparkSession, d: String): Int =
-    tbl(s, d, "embeddings").select(size(col("embedding"))).head.getInt(0)
+    tbl(s, d, "embeddings").select(size(col("embedding"))).limit(1)
+      .collect().headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Corpus-size-parameterized band width for hyperplane-LSH banding:
     * the smallest b in [4,16] with n ≤ 32·2^b, i.e. expected bucket

@@ -175,6 +175,38 @@ class CompactJobSpec extends SparkSuite {
     assert(TableIO.read(spark, dir).select("id").as[Long].collect().toSet == before)
   }
 
+  test("manifest read ignores debris dirs still holding parquet (m1 crash / concurrent rewrite)") {
+    import spark.implicits._
+    val dir = tmpDir("compact_m_m1")
+    mkFragmented(dir, buckets = 2, filesPer = 2)
+    val fs = fsOf(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bd = new Path(dir, "bucket=0")
+    val before = TableIO.read(spark, dir).select("id").as[Long].collect().toSet
+
+    // m0 committed, then the job died DURING m1: the stage dir still
+    // holds the full rewritten parquet — nothing moved into the live
+    // dir yet. Plus rename-mode debris beside the other bucket. Both
+    // dir names start with "bucket=", which a prefix match would count
+    // as extra legacy buckets and double the rows.
+    ManifestIO.commit(conf, fs, bd, ManifestIO.liveFiles(fs, bd).map(_.getName))
+    spark.read.parquet(bd.toString).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/bucket=0.compact_stage")
+    spark.read.parquet(s"$dir/bucket=1").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/bucket=1.compact_old")
+
+    // A reader at this instant sees exactly the committed sets.
+    assert(TableIO.read(spark, dir).count() == 80, "debris parquet surfaced as extra buckets")
+    assert(TableIO.read(spark, dir).select("id").as[Long].collect().toSet == before)
+    assert(TableIO.read(spark, dir).select("bucket").distinct().count() == 2)
+
+    // Recovery sweeps both debris dirs; data unchanged.
+    CompactJob.run(spark, dir, commitMode = "manifest")
+    assert(!fs.exists(new Path(s"$dir/bucket=0.compact_stage")))
+    assert(!fs.exists(new Path(s"$dir/bucket=1.compact_old")))
+    assert(TableIO.read(spark, dir).select("id").as[Long].collect().toSet == before)
+  }
+
   test("manifest mode crash after commit (m3): reader sees NEW data, recovery deletes old files") {
     import spark.implicits._
     val dir = tmpDir("compact_m_post")

@@ -53,6 +53,21 @@ class TwoPassSpec extends SparkSuite {
     kp.unpersist(); pass1.unpersist(); merged.unpersist()
   }
 
+  test("duplicate urls (revisit snapshots) fail loudly instead of silently collapsing") {
+    import spark.implicits._
+    // Same url twice with different payloads — the url-keyed flag join
+    // and merge window cannot re-associate these with their pass-1
+    // rows; the contract check must throw, not drop a snapshot.
+    val revisit = kernelPages(10).collect().toSeq
+    val dup = revisit ++ Seq(revisit.head.copy(
+      html = "<html><body><p>changed content on revisit</p></body></html>".getBytes("UTF-8")))
+    val ex = intercept[IllegalArgumentException] {
+      TwoPass.extract(spark.createDataset(dup))
+    }
+    assert(ex.getMessage.contains("url-unique"), ex.getMessage)
+    assert(ex.getMessage.contains(revisit.head.url), ex.getMessage)
+  }
+
   test("x64 query surface: deterministic, tagged, ordered") {
     val df = SparkEntry.queries("x64_two_pass")(spark, "/unused")
     val rows = df.collect()

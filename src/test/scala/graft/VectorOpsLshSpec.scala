@@ -113,4 +113,22 @@ class VectorOpsLshSpec extends SparkSuite {
       assert(SparkEntry.oracleSql.contains(name), s"$name must be oracle-checked")
     }
   }
+
+  test("empty embeddings table: LSH family returns empty, never throws at plan build") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("empty_emb")
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (name <- Seq("q30_lsh_buckets", "q74_embedding_neardup_lsh",
+        "q74p_embedding_neardup_banded", "q30p_lsh_ortables")) {
+      // The one-row dim probe must tolerate zero rows (headOption, not
+      // head) — the lazy result is the correct empty set.
+      val df = SparkEntry.queries(name)(spark, dir)
+      assert(df.count() == 0, s"$name on empty corpus")
+    }
+  }
 }
