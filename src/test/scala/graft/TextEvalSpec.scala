@@ -13,6 +13,46 @@ class TextEvalSpec extends AnyFunSuite {
     assert(TextEval.levenshtein("flaw", "lawn") == 2)
   }
 
+  test("levenshtein: Myers bit-parallel == two-row DP (property)") {
+    val rnd = new scala.util.Random(49)
+    // Strings over alphabets of 2 / 4 / 26 symbols, lengths crossing the
+    // 64-bit block boundaries (0..200 covers 1-, 2- and 3-block patterns
+    // plus the exact 63/64/65 edges via targeted cases below).
+    for (_ <- 1 to 300) {
+      val sigma = Seq(2, 4, 26)(rnd.nextInt(3))
+      def mk(n: Int) = Array.fill(n)(('a' + rnd.nextInt(sigma)).toChar).mkString
+      val (a, b) = (mk(rnd.nextInt(200)), mk(rnd.nextInt(200)))
+      assert(TextEval.levenshtein(a, b) == TextEval.levenshteinDp[Char](a, b),
+        s"mismatch on a=$a b=$b")
+    }
+    // Block edges: pattern lengths 63, 64, 65, 127, 128, 129.
+    for (m <- Seq(63, 64, 65, 127, 128, 129); n <- Seq(1, 64, 130)) {
+      val a = Array.tabulate(m)(i => ('a' + i % 3).toChar).mkString
+      val b = Array.tabulate(n)(i => ('a' + (i + 1) % 3).toChar).mkString
+      assert(TextEval.levenshtein(a, b) == TextEval.levenshteinDp[Char](a, b),
+        s"mismatch at m=$m n=$n")
+    }
+    // Word sequences (the WER shape: T = String).
+    for (_ <- 1 to 100) {
+      def mkw(n: Int) = IndexedSeq.fill(n)("w" + rnd.nextInt(8))
+      val (a, b) = (mkw(rnd.nextInt(120)), mkw(rnd.nextInt(120)))
+      assert(TextEval.levenshtein(a, b) == TextEval.levenshteinDp(a, b))
+    }
+  }
+
+  test("levenshtein: over-budget alphabet falls back to the DP, same result") {
+    val rnd = new scala.util.Random(94)
+    for (_ <- 1 to 50) {
+      // All-distinct word streams maximize the alphabet; a 64-long budget
+      // forces the fallback (maxSymbols floors at 64, lengths go past it).
+      def mkw(n: Int) = IndexedSeq.tabulate(n)(i => s"u${i}_${rnd.nextInt(4)}")
+      val (a, b) = (mkw(70 + rnd.nextInt(60)), mkw(70 + rnd.nextInt(60)))
+      val viaBudget = TextEval.levenshteinBudgeted(a, b, 1)
+      assert(viaBudget == TextEval.levenshteinDp(a, b))
+      assert(viaBudget == TextEval.levenshtein(a, b)) // un-budgeted Myers agrees
+    }
+  }
+
   test("cer/wer conventions") {
     assert(TextEval.cer("abcd", "abxd") == 0.25)
     assert(TextEval.cer("", "") == 0.0)
