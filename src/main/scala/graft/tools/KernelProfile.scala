@@ -34,6 +34,10 @@ object KernelProfile {
       var i = 0
       while (i < n) { new String(payloads(i).html, java.nio.charset.StandardCharsets.UTF_8); i += 1 }
     }
+    time("charset sniff+decode") {
+      var i = 0
+      while (i < n) { graft.text.Charsets.decode(payloads(i).html); i += 1 }
+    }
     time("tokenize") {
       var i = 0; while (i < n) { graft.html.HtmlTokenizer.tokenize(htmlStrings(i)); i += 1 }
     }
