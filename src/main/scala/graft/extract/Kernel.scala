@@ -2,7 +2,7 @@ package graft.extract
 
 import graft.boiler.Boilerplate
 import graft.classify.Detector
-import graft.html.{BlockSegmenter, StreamSegmenter}
+import graft.html.BlockSegmenter
 import graft.model._
 import graft.pdf.PdfParser
 import graft.text.PyText

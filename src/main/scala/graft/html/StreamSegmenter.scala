@@ -5,14 +5,18 @@ import graft.text.PyText
 import scala.collection.mutable.ArrayBuffer
 
 /** Token-stream → blocks, skipping the DOM materialization entirely.
-  * Produces output EXACTLY equal to `BlockSegmenter.parseHtml` (the
-  * DOM-walking reference implementation, kept for differential tests):
-  * the recursive walk over the Dom tree visits nodes in token order, so
-  * an explicit frame stack that replays `Dom.parse`'s push/auto-close/
-  * pop rules can apply the same buffer actions without allocating
-  * Element/TextNode objects — worth ~20% of whole-kernel CPU on the
-  * article-heavy corpus. Differential fuzz + the golden suite pin the
-  * equivalence (`StreamSegmenterSpec`).
+  * Produces output EXACTLY equal to `BlockSegmenter.parseHtml`: the
+  * recursive walk over the Dom tree visits nodes in token order, so an
+  * explicit frame stack that replays `Dom.parse`'s push/auto-close/pop
+  * rules can apply the same buffer actions without allocating
+  * Element/TextNode objects. HISTORY: this was the production kernel
+  * path while the tokenizer allocated per-tag attribute maps (the DOM
+  * carried that cost twice); once attribute retention became img-only
+  * the DOM path measured ~35% FASTER (frame/emit bookkeeping here
+  * outweighs the slimmed tree build), so production flipped back to
+  * `BlockSegmenter` and this implementation is retained as the
+  * independently-derived differential counterpart. Differential fuzz +
+  * the golden suite pin the equivalence (`StreamSegmenterSpec`).
   *
   * Page-axis subtlety: pages are the direct `<section>` children of the
   * page root, where the page root is the FIRST `<body>` element if one
