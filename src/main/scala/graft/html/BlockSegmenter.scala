@@ -63,40 +63,71 @@ object BlockSegmenter {
       buf.anchorChars = 0
     }
 
-    def walk(el: Element, ctx: String, anchorDepth: Int): Unit = {
-      el.children.foreach {
-        case TextNode(t) =>
-          buf.sb.append(t)
-          if (anchorDepth > 0) buf.anchorChars += PyText.normalizedLength(t)
-        case child: Element =>
-          val tag = child.tag
-          if (skipTags.contains(tag)) ()
-          else if (tag == "img") {
+    // Iterative pre/post-order walk with an explicit heap stack: DOM depth
+    // is attacker-controlled in crawl HTML (10k+ nested opens in a few
+    // hundred KB), and a recursive walk would StackOverflowError past the
+    // JVM thread stack — an Error the kernel's Exception recovery cannot
+    // catch. Frame exit actions replay exactly what the recursive form
+    // did after its recursive call (block: flush + buf restore; inline:
+    // trailing space), so the emitted blocks are byte-identical.
+    val stack = new ArrayBuffer[WalkFrame](16)
+    stack += new WalkFrame(pageRoot, initialCtx(pageRoot), 0, WalkFrame.ExitNone, null, null)
+    while (stack.nonEmpty) {
+      val f = stack(stack.length - 1)
+      if (f.idx < f.el.children.length) {
+        val node = f.el.children(f.idx)
+        f.idx += 1
+        node match {
+          case TextNode(t) =>
+            buf.sb.append(t)
+            if (f.anchorDepth > 0) buf.anchorChars += PyText.normalizedLength(t)
+          case child: Element =>
+            val tag = child.tag
+            if (skipTags.contains(tag)) ()
+            else if (tag == "img") {
+              flush()
+              out += Block(Block.ImageType, "", 0, "img", f.ctx, child.attr("alt"))
+            } else if (tag == "br" || tag == "hr") {
+              buf.sb.append(' ')
+            } else if (blockTags.contains(tag)) {
+              flush()
+              val childCtx = if (boilerCtxTags.contains(tag)) tag else f.ctx
+              val nf = new WalkFrame(child, childCtx, f.anchorDepth,
+                WalkFrame.ExitBlock, buf.tag, buf.ctx)
+              buf.tag = tag; buf.ctx = childCtx
+              stack += nf
+            } else {
+              // Inline element (a, b, i, em, strong, span, ...).
+              val depth = if (tag == "a") f.anchorDepth + 1 else f.anchorDepth
+              buf.sb.append(' ')
+              stack += new WalkFrame(child, f.ctx, depth, WalkFrame.ExitInline, null, null)
+            }
+        }
+      } else {
+        stack.remove(stack.length - 1)
+        f.exitKind match {
+          case WalkFrame.ExitBlock =>
             flush()
-            out += Block(Block.ImageType, "", 0, "img", ctx, child.attr("alt"))
-          } else if (tag == "br" || tag == "hr") {
+            buf.tag = f.prevTag; buf.ctx = f.prevCtx
+          case WalkFrame.ExitInline =>
             buf.sb.append(' ')
-          } else if (blockTags.contains(tag)) {
-            flush()
-            val childCtx = if (boilerCtxTags.contains(tag)) tag else ctx
-            val prevTag = buf.tag; val prevCtx = buf.ctx
-            buf.tag = tag; buf.ctx = childCtx
-            walk(child, childCtx, anchorDepth)
-            flush()
-            buf.tag = prevTag; buf.ctx = prevCtx
-          } else {
-            // Inline element (a, b, i, em, strong, span, ...).
-            val depth = if (tag == "a") anchorDepth + 1 else anchorDepth
-            buf.sb.append(' ')
-            walk(child, ctx, depth)
-            buf.sb.append(' ')
-          }
+          case _ => ()
+        }
       }
     }
-
-    walk(pageRoot, initialCtx(pageRoot), 0)
     flush()
     out.toVector
+  }
+
+  private object WalkFrame {
+    final val ExitNone = 0
+    final val ExitBlock = 1
+    final val ExitInline = 2
+  }
+  private final class WalkFrame(
+      val el: Element, val ctx: String, val anchorDepth: Int,
+      val exitKind: Int, val prevTag: String, val prevCtx: String) {
+    var idx = 0
   }
 
   private def initialCtx(el: Element): String =

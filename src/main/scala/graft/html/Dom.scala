@@ -75,14 +75,26 @@ object Dom {
     root
   }
 
-  /** First descendant element with the given tag (depth-first). */
+  /** First descendant element with the given tag (depth-first).
+    * Iterative: tree depth is input-controlled in crawl HTML, so the
+    * traversal must not consume JVM stack per level.
+    */
   def find(node: Element, tag: String): Option[Element] = {
-    if (node.tag == tag) return Some(node)
-    node.children.foreach {
-      case e: Element =>
-        val r = find(e, tag)
-        if (r.isDefined) return r
-      case _ =>
+    val stack = new ArrayBuffer[Element](16)
+    stack += node
+    while (stack.nonEmpty) {
+      val el = stack.remove(stack.length - 1)
+      if (el.tag == tag) return Some(el)
+      // Push children in reverse so the leftmost is visited first
+      // (preorder, same order as the recursive form).
+      var i = el.children.length - 1
+      while (i >= 0) {
+        el.children(i) match {
+          case e: Element => stack += e
+          case _ =>
+        }
+        i -= 1
+      }
     }
     None
   }

@@ -37,8 +37,20 @@ object PyJson {
 
   def isValid(doc: String): Boolean = parse(doc).isRight
 
+  /** Container-nesting cap. CPython's recursive-descent json.loads hits
+    * RecursionError at ~sys.getrecursionlimit() (default 1000) nesting —
+    * an exception the reference's repair cascade does NOT catch, so its
+    * service 500s on such input. This twin converts the same condition
+    * into a catchable [JsonError] instead (strictly safer: JVM
+    * StackOverflowError is not an Exception and would escape the
+    * kernel's error-record recovery); depth is capped, never the
+    * payload size.
+    */
+  private val MaxDepth = 1000
+
   private final class Parser(doc: String) {
     var pos = 0
+    private var depth = 0
     private val n = doc.length
 
     def skipWs(): Unit =
@@ -129,6 +141,13 @@ object PyJson {
     }
 
     private def parseObject(): JObj = {
+      depth += 1
+      if (depth > MaxDepth) err("Nesting too deep", pos)
+      try parseObjectBody()
+      finally depth -= 1
+    }
+
+    private def parseObjectBody(): JObj = {
       pos += 1 // '{'
       skipWs()
       val entries = scala.collection.mutable.LinkedHashMap[String, JVal]()
@@ -151,6 +170,13 @@ object PyJson {
     }
 
     private def parseArray(): JArr = {
+      depth += 1
+      if (depth > MaxDepth) err("Nesting too deep", pos)
+      try parseArrayBody()
+      finally depth -= 1
+    }
+
+    private def parseArrayBody(): JArr = {
       pos += 1 // '['
       skipWs()
       val items = Vector.newBuilder[JVal]

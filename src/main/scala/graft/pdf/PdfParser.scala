@@ -267,8 +267,21 @@ object PdfParser {
     } else p
   }
 
+  /** Container-nesting cap for [parseValueAt]: real PDFs nest dicts/
+    * arrays a handful of levels; crawl payloads are attacker-controlled,
+    * and the recursive descent must not be drivable past the JVM thread
+    * stack (StackOverflowError is not an Exception — the kernel's
+    * error-record recovery cannot catch it). Past the cap the value is
+    * treated as malformed (None), which every caller already handles.
+    */
+  private val MaxValueDepth = 64
+
   /** Parse one PDF value at position p; returns (value, positionAfter). */
-  def parseValueAt(s: String, p0: Int): Option[(PVal, Int)] = {
+  def parseValueAt(s: String, p0: Int): Option[(PVal, Int)] =
+    parseValueAt(s, p0, 0)
+
+  private def parseValueAt(s: String, p0: Int, depth: Int): Option[(PVal, Int)] = {
+    if (depth >= MaxValueDepth) return None
     val p = skipWs(s, p0)
     if (p < 0 || p >= s.length) return None
     s.charAt(p) match {
@@ -282,7 +295,7 @@ object PdfParser {
             q = qq + 2; done = true
           } else if (qq < s.length && s.charAt(qq) == '/') {
             val (PName(key), afterKey) = parseName(s, qq)
-            parseValueAt(s, afterKey) match {
+            parseValueAt(s, afterKey, depth + 1) match {
               case Some((v, after)) => entries += (key -> v); q = after
               case None => done = true; q = s.length
             }
@@ -313,7 +326,7 @@ object PdfParser {
           val qq = skipWs(s, q)
           if (qq >= s.length) { done = true; q = qq }
           else if (s.charAt(qq) == ']') { q = qq + 1; done = true }
-          else parseValueAt(s, qq) match {
+          else parseValueAt(s, qq, depth + 1) match {
             case Some((v, after)) => items += v; q = after
             case None => done = true; q = qq + 1
           }

@@ -336,9 +336,12 @@ object PipelineOps {
     // levenshtein — each per-row word mapped to a single ASCII char
     // (vocab ≤ ~62 « the 94 printable slots) so the char edit distance
     // IS the word edit distance — and Jaccard via list set-ops. A green
-    // hash pins TextEval's DP and the empty-input conventions
-    // cross-engine. (The two-quality kernel eval roll-up this replaces
-    // stays covered by TextEvalSpec + the x40/x42 kernel queries.)
+    // hash pins TextEval's PRODUCTION path — the bit-parallel Myers
+    // scan (these docs are far under its alphabet budget) — and the
+    // empty-input conventions cross-engine; the DP fallback is pinned
+    // by TextEvalSpec's Myers==DP property tests. (The two-quality
+    // kernel eval roll-up this replaces stays covered by TextEvalSpec +
+    // the x40/x42 kernel queries.)
     ("q49_eval_quality",
       (s, d) => {
         import s.implicits._

@@ -13,10 +13,23 @@ package graft.text
   */
 object TextEval {
 
-  /** Bitmask budget for the Myers Peq table: distinct-symbols ×
-    * blocks ≤ 2^21 longs (16 MB transient worst case per pair).
+  /** Bitmask budget for the Myers Peq table. The enforced bound on the
+    * table is `max(MaxPeqLongs, 64 × blocks)` longs — the 64-symbol
+    * floor keeps Myers available for long low-alphabet patterns (where
+    * the DP's O(n·m) time would be the real killer), at the price of up
+    * to 8 bytes per pattern symbol: 16 MB transient for patterns up to
+    * 2 M symbols, growing linearly above that. [MaxPatternBlocks] is
+    * the absolute ceiling: patterns past it (~16.7 M symbols, ≥128 MB
+    * Peq) always take the DP, so the transient can never exceed 128 MB
+    * per pair regardless of input.
     */
   private val MaxPeqLongs = 1 << 21
+
+  /** Hard cap on pattern blocks for the Myers path: 64-symbol floor ×
+    * this many blocks = 2^24 longs = 128 MB, the most the Peq table is
+    * ever allowed to reach.
+    */
+  private val MaxPatternBlocks = (1 << 24) / 64
 
   /** Exact edit distance between two indexed sequences. */
   def levenshtein[T](a: IndexedSeq[T], b: IndexedSeq[T]): Int =
@@ -31,10 +44,12 @@ object TextEval {
     val (s, t) = if (a.length <= b.length) (a, b) else (b, a)
     val m = s.length
     val blocks = (m + 63) >>> 6
+    if (blocks > MaxPatternBlocks) return levenshteinDp(s, t)
 
     // Peq: per distinct symbol of the (shorter) pattern, the bitmask of
     // positions holding it. Sized by what the input actually contains;
-    // bail to the DP if a huge-alphabet input would exceed the budget.
+    // bail to the DP if a huge-alphabet input would exceed the budget
+    // (see MaxPeqLongs for the exact enforced bound).
     val maxSymbols = math.max(64, peqBudget / blocks)
     val peq = new java.util.HashMap[T, Array[Long]]()
     var i = 0

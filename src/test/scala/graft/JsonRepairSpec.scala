@@ -141,4 +141,23 @@ class JsonRepairSpec extends AnyFunSuite {
     assert(JsonRepair.repairStatus("""{"a":1,}""") == ((true, true)))
     assert(JsonRepair.repairStatus("""not json""") == ((false, false)))
   }
+
+  test("adversarial nesting is depth-capped as a catchable JsonError") {
+    // CPython's json.loads dies with RecursionError (~1000 nesting, a
+    // non-JSONDecodeError the reference's repair cascade doesn't catch);
+    // this twin converts the same condition to a JsonError so the kernel
+    // error-record path absorbs it — and a JVM StackOverflowError (not
+    // an Exception) can never escape the parser.
+    val deep = ("[" * 100000) + ("]" * 100000)
+    val Left(e) = PyJson.parse(deep): @unchecked
+    assert(e.getMessage.startsWith("Nesting too deep"))
+    val deepObj = ("""{"k":""" * 100000) + "1" + ("}" * 100000)
+    assert(PyJson.parse(deepObj).isLeft)
+    // Within the cap: 999-deep parses fine (Python parity: loads copes
+    // just under the recursion limit).
+    val ok = ("[" * 999) + ("]" * 999)
+    assert(PyJson.parse(ok).isRight)
+    // The repair cascade surfaces the depth error, doesn't loop or die.
+    assert(JsonRepair.repairStatus(deep) == ((false, false)))
+  }
 }

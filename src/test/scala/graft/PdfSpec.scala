@@ -378,4 +378,17 @@ class PdfSpec extends AnyFunSuite {
       PdfParser.parse(java.util.Arrays.copyOfRange(modern, 0, cut))
     }
   }
+
+  test("adversarial value nesting is depth-capped, never a stack overflow") {
+    // Crawl PDFs are attacker-controlled; 100k-deep arrays/dicts in an
+    // object body must degrade to a malformed-value stop (None / skipped
+    // object), not drive parseValueAt past the JVM stack.
+    val deepArr = "%PDF-1.4\n1 0 obj\n" + ("[" * 100000) + ("]" * 100000) + "\nendobj\n"
+    PdfParser.parse(deepArr.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) // must not throw
+    val deepDict = "%PDF-1.4\n1 0 obj\n" + ("<< /K " * 100000) + "1" + (" >>" * 100000) + "\nendobj\n"
+    PdfParser.parse(deepDict.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) // must not throw
+    // Sanity: moderate nesting (within the cap) still parses.
+    val ok = PdfParser.parseValueAt("[[[[[[ 1 2 3 ]]]]]]", 0)
+    assert(ok.isDefined)
+  }
 }

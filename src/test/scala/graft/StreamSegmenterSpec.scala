@@ -93,4 +93,23 @@ class StreamSegmenterSpec extends AnyFunSuite {
       assertSame(sb.toString, s"fuzz rep $rep")
     }
   }
+
+  test("adversarial depth: 60k nested opens segment without stack overflow, paths equal") {
+    // Crawl HTML is attacker-controlled: unclosed opens nest the DOM one
+    // level each, so a few hundred KB can build a 60k-deep tree. The
+    // production walk (and Dom.find) must be heap-stack iterative — a
+    // recursive walk dies on StackOverflowError here, which the kernel's
+    // Exception recovery cannot catch.
+    val deepBlocks = "<body>" + ("<div>" * 60000) + "deep text" // unclosed: auto-depth
+    assertSame(deepBlocks, "60k nested divs")
+    val deepInline = "<body><p>" + ("<span>" * 60000) + "x" + ("</span>" * 60000) + "</p>"
+    assertSame(deepInline, "60k nested spans")
+    val deepAnchors = "<body><p>" + ("<a>" * 30000) + "link text" // anchor depth counter
+    assertSame(deepAnchors, "30k nested anchors")
+    // And end-to-end through the kernel: parse must return Right, not die.
+    val parsed = graft.extract.DocParser.parse(
+      deepBlocks.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(parsed.isRight)
+    assert(parsed.toOption.get.pages.head.blocks.exists(_.text.contains("deep text")))
+  }
 }
