@@ -369,6 +369,39 @@ object TrainOps {
                     FROM docb JOIN lr USING (b) GROUP BY 1)
              SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
                round(lw, 6) AS log_weight, (round(lw, 6) > 0) AS target_like
-             FROM sc ORDER BY doc_id"""))
+             FROM sc ORDER BY doc_id""")),
+
+    // ---- BPE merge-pair counting: the inner loop of tokenizer
+    // TRAINING at corpus scale — one merge round = the global histogram
+    // of adjacent pre-token pairs, of which the argmax becomes the next
+    // merge. Pre-tokens use q19's GPT-2-style pre-tokenizer regex so
+    // the two queries describe the same token stream. Top-20 by count
+    // with a lexicographic tiebreak (the cut is deterministic even when
+    // counts tie). Scale shape: map-only pair explode → hash partial
+    // agg (pair cardinality is bounded by vocab², and the partial agg
+    // collapses each partition's stream before the exchange) → global
+    // top-k via TakeOrderedAndProject, never a full sort; when exact
+    // counts aren't needed the CMS heavy-hitter sketch (q83) is the
+    // sublinear-memory alternative.
+    ("q93_bpe_pair_counts",
+      (s, d) => {
+        val pre = "'(?:[sdmt]|ll|ve|re)|[a-z]+|[0-9]|[^\\sa-z0-9']+"
+        val t = tbl(s, d, "documents")
+          .select(regexp_extract_all(lower(col("text")), lit(pre), lit(0)).as("toks"))
+          .where(size(col("toks")) >= 2) // also keeps sequence() ascending
+        t.select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => concat(element_at(col("toks"), i), lit(" "),
+              element_at(col("toks"), i + 1)))).as("pair"))
+          .groupBy("pair").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text),
+               '''(?:[sdmt]|ll|ve|re)|[a-z]+|[0-9]|[^\sa-z0-9'']+') AS toks
+             FROM documents),
+             p AS (SELECT toks[u.i] || ' ' || toks[u.i+1] AS pair
+                   FROM t, unnest(range(1, len(toks))) AS u(i)),
+             c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1)
+             SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT 20"""))
   )
 }

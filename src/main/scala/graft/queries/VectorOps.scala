@@ -171,6 +171,32 @@ object VectorOps {
        SELECT vid_a, vid_b FROM cs WHERE cos >= $threshold
        ORDER BY vid_a, vid_b"""
 
+  /** q92's engine, parameterized on the dedup threshold so the spec can
+    * measure the production operating point (cos ≥ 0.9 planted dups)
+    * while the driver-facing query keeps 0.4 (non-degenerate at the
+    * testdata's independent-draw cosine range). Returns the SURVIVING
+    * vec_ids: a vector is pruned when any same-IVF-cell vector with a
+    * smaller vec_id sits at cos ≥ threshold.
+    */
+  private[graft] def semanticDedupKept(s: SparkSession, d: String,
+      threshold: Double): DataFrame = {
+    // assign feeds both join sides — materialize the Lloyd pass once
+    // (q33's rationale).
+    val assign = ivfAssign(s, d).localCheckpoint()
+    val a = assign.select(col("cell"), col("vec_id").as("vid_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assign.select(col("cell"), col("vec_id").as("vid_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pruned = a.join(b, Seq("cell"))
+      .where(col("vid_a") < col("vid_b"))
+      .withColumn("cos", dot("va", "vb") / (col("na") * col("nb")))
+      .where(col("cos") >= threshold)
+      .select(col("vid_b").as("vec_id")).distinct()
+    tbl(s, d, "embeddings").select("vec_id")
+      .join(pruned, Seq("vec_id"), "left_anti")
+      .orderBy("vec_id")
+  }
+
   /** Data-derived IVF centroids (replaces round-2's md5-derived ones,
     * whose recall was unrepresentative — BENCH.md measured 1/30
     * single-probe): 8 deterministic seed vectors (vec_id 0..7) refined
@@ -469,6 +495,35 @@ object VectorOps {
     ("q30p_lsh_ortables",
       (s, d) => bandedPairs(emb(s, d), bands = 4, bits = 8, threshold = 0.4, dim = embDim(s, d)),
       Some(bandedPairsSql(planesExpr = "32", bitsExpr = "8", threshold = "0.4"))),
+
+    // ---- SemDeDup-style semantic dedup (cluster-then-prune, the
+    // published economics of embedding dedup at scale: k-means the
+    // corpus, then compare ONLY within a cluster — Abbas et al. 2023).
+    // Reuses the q32/q33 IVF coarse quantizer as the clustering; a
+    // vector is pruned when ANY same-cell vector with a smaller vec_id
+    // sits at cos ≥ 0.4 (deterministic keep-lowest-id representative,
+    // no transitive closure — the SemDeDup rule, not q35's CC
+    // clustering). Output = surviving vec_ids. Scale shape: candidate
+    // volume is Σ|cell|² instead of n² — k grows with the corpus
+    // (n/k ≈ fixed occupancy) so per-cell work is bounded, the
+    // centroid table stays tiny/broadcast, and the only wide exchange
+    // carries (cell, vec_id, v). Differs from q74p (global LSH pair
+    // emit): this is the keep/drop decision layer, and its cells give
+    // it the "one representative per semantic neighborhood" semantics
+    // LSH banding cannot (banding can split a neighborhood across
+    // buckets; a cell never does).
+    ("q92_semantic_dedup",
+      (s, d) => semanticDedupKept(s, d, threshold = 0.4),
+      Some(ivfAssignSql +
+        """, pc AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+             sum(ea.v*eb.v)/(sqrt(sum(ea.v*ea.v))*sqrt(sum(eb.v*eb.v))) AS cos
+           FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+           GROUP BY 1,2),
+        pruned AS (SELECT DISTINCT vid_b FROM pc WHERE cos >= 0.4)
+        SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vid_b FROM pruned)
+        ORDER BY vec_id""")),
 
     // ---- All-pairs cosine near-dup (embedding near-duplicate detection
     // baseline; ids only — rank order is FP-stable, raw scores are not).

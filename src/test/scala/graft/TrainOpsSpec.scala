@@ -161,4 +161,34 @@ class TrainOpsSpec extends SparkSuite {
     val got = rows.find(_._1 == someDoc).get._3
     assert(math.abs(got - expect) < 1e-4, s"doc $someDoc: $got vs $expect")
   }
+
+  test("q93 BPE pair counts: matches a driver-side recomputation, tie-cut deterministic") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q93_bpe_pair_counts")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows.size == 20)
+    // Independent recomputation: same pre-tokenizer regex, plain Scala.
+    val pre = "'(?:[sdmt]|ll|ve|re)|[a-z]+|[0-9]|[^\\sa-z0-9']+".r
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0)).foreach { text =>
+        val toks = pre.findAllIn(text.toLowerCase).toArray
+        toks.indices.dropRight(1).foreach { i =>
+          val p = toks(i) + " " + toks(i + 1)
+          counts(p) = counts.getOrElse(p, 0L) + 1
+        }
+      }
+    val expect = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(rows == expect, s"got ${rows.take(3)} vs ${expect.take(3)}")
+    // The cut must be deterministic even when the 20th count ties:
+    // every excluded pair with the cut count sorts lexicographically
+    // AFTER every included one.
+    val cut = rows.last._2
+    val includedAtCut = rows.filter(_._2 == cut).map(_._1)
+    val excludedAtCut = counts.toSeq
+      .filter { case (p, n) => n == cut && !rows.exists(_._1 == p) }.map(_._1)
+    excludedAtCut.foreach { e =>
+      includedAtCut.foreach(i => assert(i < e, s"tie-cut not lexicographic: $i vs $e"))
+    }
+  }
 }

@@ -100,6 +100,26 @@ class VectorOpsLshSpec extends SparkSuite {
     assert(curve.toMap.apply(4) >= 0.95, s"L=4 recall ${curve.toMap.apply(4)}")
   }
 
+  test("q92 semantic dedup at cos>=0.9: planted dups pruned, sound, cell-local") {
+    val all = corpus.map(_._1).toSet
+    val kept = VectorOps.semanticDedupKept(spark, dir, threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val pruned = all.diff(kept)
+    // Soundness: within-cell pairs are a subset of all pairs, so every
+    // pruned id must be the larger side of SOME brute pair at 0.9.
+    val dominated = brutePairs(0.9).map(_._2)
+    assert(pruned.subsetOf(dominated),
+      s"pruned ids with no >=0.9 smaller-id partner: ${pruned.diff(dominated).take(5)}")
+    // Effectiveness: a planted dup sits at cos~0.998 to its base, so
+    // both argmax the same centroid and land in one cell almost surely;
+    // the SemDeDup rule must catch nearly all of them (seeded corpus —
+    // the measured number is fixed; require >=90%).
+    val dupIds = (nBase until nBase + nDup).map(_.toLong).toSet
+    val caught = pruned.intersect(dupIds).size
+    info(f"planted dups pruned: $caught/$nDup; total pruned ${pruned.size}")
+    assert(caught >= (nDup * 0.9).toInt, s"only $caught/$nDup planted dups pruned")
+  }
+
   test("q74p/q30p on driver testdata: sound vs brute, no cartesian product") {
     val sf = "/root/testdata/sf0.001"
     val brute = SparkEntry.queries("q31_embedding_neardup")(spark, sf)
@@ -112,6 +132,18 @@ class VectorOpsLshSpec extends SparkSuite {
       assert(!plan.contains("CartesianProduct"), s"all-pairs join in $name plan")
       assert(SparkEntry.oracleSql.contains(name), s"$name must be oracle-checked")
     }
+    // q92 (kept-ids shape): whoever q92 pruned must be the larger side
+    // of some brute pair — within-cell candidates are a subset of all
+    // pairs at the same threshold.
+    val q92 = SparkEntry.queries("q92_semantic_dedup")(spark, sf)
+    val kept = q92.collect().map(_.getLong(0)).toSet
+    val allIds = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val prunedIds = allIds.diff(kept)
+    assert(prunedIds.subsetOf(brute.map(_._2)),
+      s"q92 pruned without a brute partner: ${prunedIds.diff(brute.map(_._2)).take(5)}")
+    assert(!q92.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(SparkEntry.oracleSql.contains("q92_semantic_dedup"))
   }
 
   test("empty embeddings table: LSH family returns empty, never throws at plan build") {
