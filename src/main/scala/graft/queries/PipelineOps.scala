@@ -591,6 +591,34 @@ object PipelineOps {
           .orderBy("url")
       }, None),
 
+    // ---- WAT-style link records (crawl-graph construction — Common
+    // Crawl ships exactly this as the WAT sidecar): every HTML page →
+    // (resolved target, anchor text) via the tokenizer with <a>
+    // attribute retention ON (html.Links; the kernel's img-only fast
+    // path pays nothing), aggregated into the anchor-text table per
+    // target path. This is the stage that PRODUCES the host graph
+    // q89's PageRank consumes. Deterministic but not SQL-expressible
+    // (real HTML parsing) → rows-only here; exact values pinned by
+    // LinksSpec. Scale shape: map-only 1→N flatMap (payload never
+    // shuffles), then one partial-agg exchange on the (path, anchor)
+    // key — at 10^12 pages the production keying is dst_host for graph
+    // building, same single-exchange shape.
+    ("x65_link_records",
+      (s, _) => {
+        import s.implicits._
+        val recs = pages(s, 1200).flatMap(p =>
+          graft.html.Links.records(p.url, p.html)
+            .map { case (t, a) => (p.url, t, a) })
+          .toDF("src_url", "target", "anchor")
+        recs
+          .withColumn("path", regexp_replace(col("target"), "^https?://[^/]+", ""))
+          .withColumn("src_host", regexp_extract(col("src_url"), "^https?://([^/]+)", 1))
+          .groupBy("path", "anchor")
+          .agg(count(lit(1)).as("n_links"),
+            countDistinct("src_host").as("n_hosts"))
+          .orderBy("path", "anchor")
+      }, None),
+
     // ---- Multimodal binary kernel: opaque payload bytes → typed
     // metadata via the per-partition header decoder (real container
     // parsing, graft.media.ImageHeaders). Input is the page corpus
