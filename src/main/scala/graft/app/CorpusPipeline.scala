@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * Usage:
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
   *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
-  *     [--span-dedup] [--pack] [--host-cap K] [--stats]
+  *     [--span-dedup] [--pack] [--host-cap K] [--stats] [--links]
   */
 object CorpusPipeline {
 
@@ -43,7 +43,8 @@ object CorpusPipeline {
       spanDedup: Boolean = false,
       pack: Boolean = false,
       hostCap: Int = 0,
-      stats: Boolean = false)
+      stats: Boolean = false,
+      links: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -63,6 +64,7 @@ object CorpusPipeline {
         case "--pack" => a = a.copy(pack = true); i += 1
         case "--host-cap" => a = a.copy(hostCap = argv(i + 1).toInt); i += 2
         case "--stats" => a = a.copy(stats = true); i += 1
+        case "--links" => a = a.copy(links = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -94,6 +96,21 @@ object CorpusPipeline {
     // from footer metadata without materializing a single row (the
     // typed count would deserialize the whole table just for a metric).
     stages += "pages" -> pagesDf.count()
+
+    // 0.5. Link-record sidecar (optional, --links): the WAT analog —
+    // per-page (resolved target, anchor) records written beside the
+    // corpus BEFORE any filtering: the crawl graph wants EVERY page,
+    // including ones quality/dedup will drop (q89's PageRank and
+    // frontier scheduling consume this table; x65 is the query twin).
+    // Map-only flatMap over the payload — nothing shuffles; the write
+    // is the whole cost.
+    if (a.links) {
+      pages.flatMap(p => graft.html.Links.records(p.url, p.html)
+          .map { case (t, anchor) => (p.url, t, anchor) })
+        .toDF("src_url", "target", "anchor")
+        .write.mode("overwrite").parquet(s"${a.out}/links")
+      stages += "links" -> spark.read.parquet(s"${a.out}/links").count()
+    }
 
     // 1. Extraction (slim schema — the corpus path).
     val extracted = ExtractJob.extractKernel(pages, a.quality, slim = true)

@@ -212,4 +212,26 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(mass.keySet == Set(0, 1, 2, 3))
     assert(mass.values.toSet.size == 1, s"unequal row masses: $mass")
   }
+
+  test("--links writes the WAT sidecar for every page, pre-filtering, matching html.Links") {
+    import spark.implicits._
+    val out = tmpDir("cp_links")
+    val stages = CorpusPipeline.run(spark, Args(rows = 400, out = out, links = true)).toMap
+    val links = spark.read.parquet(s"$out/links")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(links.length == stages("links"))
+    // Sidecar covers PRE-filter pages: recompute directly from the
+    // generator and compare the full multiset.
+    val expect = graft.synth.PageGen.generate(spark, 400)
+      .collect().flatMap(p => graft.html.Links.records(p.url, p.html)
+        .map { case (t, a) => (p.url, t, a) })
+    assert(links.sorted.toSeq == expect.sorted.toSeq)
+    // Binary/corrupted families contribute zero rows but HTML families
+    // dominate the mix: the sidecar must be non-trivially populated.
+    assert(links.length > 400, s"only ${links.length} links from 400 pages")
+    // Every target resolved absolute against its source host.
+    links.foreach { case (src, t, _) =>
+      assert(t.startsWith("https://") || t.startsWith("http://"), s"$src -> $t")
+    }
+  }
 }
