@@ -179,10 +179,10 @@ object VectorOps {
     * smaller vec_id sits at cos ≥ threshold.
     */
   private[graft] def semanticDedupKept(s: SparkSession, d: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, k: Int = 8): DataFrame = {
     // assign feeds both join sides — materialize the Lloyd pass once
     // (q33's rationale).
-    val assign = ivfAssign(s, d).localCheckpoint()
+    val assign = ivfAssign(s, d, k = k).localCheckpoint()
     val a = assign.select(col("cell"), col("vec_id").as("vid_a"),
       col("v").as("va"), col("nrm").as("na"))
     val b = assign.select(col("cell"), col("vec_id").as("vid_b"),
@@ -208,10 +208,10 @@ object VectorOps {
     * corpus pass (posexplode → per-(cell,dim) partial-agg mean), the
     * same cost as any k-means iteration.
     */
-  private def ivfCentroids(s: SparkSession, d: String): DataFrame = {
+  private def ivfCentroids(s: SparkSession, d: String, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
-    val seeds = e.where(col("vec_id") < 8)
+    val seeds = e.where(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("v").as("sv"),
         col("nrm").as("snrm"))
     val a0 = e.select(col("vec_id"), col("v"))
@@ -237,14 +237,14 @@ object VectorOps {
     * knob; see BENCH.md scale-path quality table).
     */
   private def ivfAssign(s: SparkSession, d: String, probes: Int = 1,
-      centroids: Option[DataFrame] = None): DataFrame = {
+      centroids: Option[DataFrame] = None, k: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = emb(s, d)
     // The Lloyd pass is a full corpus scan: materialize its tiny k×dim
     // result so no query plan embeds (and re-executes) it twice —
     // callers that assign at several probe depths pass ONE shared
     // centroid table in.
-    val cents = centroids.getOrElse(ivfCentroids(s, d).localCheckpoint())
+    val cents = centroids.getOrElse(ivfCentroids(s, d, k).localCheckpoint())
     val dots = e.join(broadcast(cents), lit(true))
       .withColumn("cdot", call_function("vector_dot", col("v"), col("cv")) / col("cnrm"))
     val w = Window.partitionBy("vec_id").orderBy(col("cdot").desc, col("cell").asc)
@@ -252,14 +252,32 @@ object VectorOps {
       .select("vec_id", "cell", "v", "nrm")
   }
 
+  /** Corpus-sized cell count for the production quantizer (q92p): one
+    * cell per ~64 vectors, floored at the teaching variant's 8 and
+    * capped at 2^20 so `cell` stays int-safe. Integer-exact on both
+    * engines (`ivfKSql` is the verbatim DuckDB mirror). At the 10^12
+    * design point the flat quantizer would hit the cap with ~10^6
+    * docs/cell — production there goes hierarchical (two-level IVF:
+    * assign to a coarse cell, re-quantize within it — the same operator
+    * applied twice); the clamp keeps the single-level math honest at
+    * every sandbox SF while the ladder, not a constant, is what the
+    * oracle pins.
+    */
+  private[graft] def ivfK(n: Long): Int =
+    math.min(math.max(8L, n / 64L), 1L << 20).toInt
+
+  private val ivfKSql: String =
+    "least(greatest(8, (SELECT count(*) FROM embeddings) // 64), 1048576)"
+
   /** Shared WITH-prefix of the IVF oracle SQL (defines e, the seeded
     * one-Lloyd-step centroids, dotsn, assign) — the exact SQL mirror of
-    * `ivfCentroids`/`ivfAssign`.
+    * `ivfCentroids`/`ivfAssign` at seed count `kExpr` (a SQL literal or
+    * scalar subquery, mirroring the Spark side's `k` argument).
     */
-  private val ivfAssignSql: String =
-    """WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+  private def ivfAssignSqlK(kExpr: String): String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,
          generate_subscripts(embedding,1)-1 AS i FROM embeddings),
-      seed AS (SELECT vec_id AS cell, i, v AS w FROM e WHERE vec_id < 8),
+      seed AS (SELECT vec_id AS cell, i, v AS w FROM e WHERE vec_id < ($kExpr)),
       snrm AS (SELECT cell, sqrt(sum(w*w)) AS nrm FROM seed GROUP BY 1),
       a0c AS (SELECT e.vec_id, seed.cell, sum(e.v * seed.w) AS dot
               FROM e JOIN seed ON e.i = seed.i GROUP BY 1,2),
@@ -282,6 +300,9 @@ object VectorOps {
           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
         FROM dotsn) WHERE rn = 1)
     """
+
+  /** The teaching-variant prefix (fixed 8 seeds — q32/q33/q39/q92). */
+  private val ivfAssignSql: String = ivfAssignSqlK("8")
 
   val defs: Seq[Q] = Seq(
 
@@ -504,9 +525,11 @@ object VectorOps {
     // sits at cos ≥ 0.4 (deterministic keep-lowest-id representative,
     // no transitive closure — the SemDeDup rule, not q35's CC
     // clustering). Output = surviving vec_ids. Scale shape: candidate
-    // volume is Σ|cell|² instead of n² — k grows with the corpus
-    // (n/k ≈ fixed occupancy) so per-cell work is bounded, the
-    // centroid table stays tiny/broadcast, and the only wide exchange
+    // volume is Σ|cell|² instead of n² — this teaching variant keeps
+    // the fixed 8-cell quantizer (q32/q33's); the PRODUCTION variant is
+    // q92p below, whose cell count follows corpus size (`ivfK`) so
+    // per-cell work is bounded at any scale. The centroid table stays
+    // tiny/broadcast, and the only wide exchange
     // carries (cell, vec_id, v). Differs from q74p (global LSH pair
     // emit): this is the keep/drop decision layer, and its cells give
     // it the "one representative per semantic neighborhood" semantics
@@ -514,7 +537,32 @@ object VectorOps {
     // buckets; a cell never does).
     ("q92_semantic_dedup",
       (s, d) => semanticDedupKept(s, d, threshold = 0.4),
+      // (oracle below; q92p follows with the corpus-sized quantizer)
       Some(ivfAssignSql +
+        """, pc AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+             sum(ea.v*eb.v)/(sqrt(sum(ea.v*ea.v))*sqrt(sum(eb.v*eb.v))) AS cos
+           FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN e ea ON ea.vec_id = a.vec_id
+           JOIN e eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+           GROUP BY 1,2),
+        pruned AS (SELECT DISTINCT vid_b FROM pc WHERE cos >= 0.4)
+        SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT vid_b FROM pruned)
+        ORDER BY vec_id""")),
+
+    // ---- PRODUCTION semantic dedup (q92's scale fix, the q74p
+    // treatment applied to the quantizer): cell count derived from
+    // corpus size — k = clamp(n/64, 8, 2^20) (`ivfK`), so per-cell
+    // occupancy stays ~64 and the within-cell pair stage stays ~O(n)
+    // at any corpus size instead of the fixed-k O(n²/8) growth. The
+    // DuckDB oracle derives k from count(*) through the IDENTICAL
+    // integer ladder, pinning the adaptive quantizer at every SF the
+    // driver runs. Same keep-lowest-id rule and threshold as q92.
+    ("q92p_semantic_dedup_scaled",
+      (s, d) => {
+        val n = tbl(s, d, "embeddings").count()
+        semanticDedupKept(s, d, threshold = 0.4, k = ivfK(n))
+      },
+      Some(ivfAssignSqlK(ivfKSql) +
         """, pc AS (SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
              sum(ea.v*eb.v)/(sqrt(sum(ea.v*ea.v))*sqrt(sum(eb.v*eb.v))) AS cos
            FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id

@@ -74,6 +74,15 @@ class VectorOpsLshSpec extends SparkSuite {
     assert(VectorOps.bandBits(1000000000000L) == 16)
   }
 
+  test("ivfK ladder: clamp(n/64, 8, 2^20), integer-exact") {
+    assert(VectorOps.ivfK(0) == 8)
+    assert(VectorOps.ivfK(512) == 8)
+    assert(VectorOps.ivfK(640) == 10)
+    assert(VectorOps.ivfK(2000) == 31)
+    assert(VectorOps.ivfK(1L << 26) == (1 << 20))
+    assert(VectorOps.ivfK(1000000000000L) == (1 << 20))
+  }
+
   test("q74p operating point: 16-bit keys, cos>=0.9 — recall >= 0.95, sound") {
     val brute = brutePairs(0.9)
     assert(brute.size >= nDup, s"planted corpus must have >= $nDup near-dup pairs, got ${brute.size}")
@@ -118,6 +127,16 @@ class VectorOpsLshSpec extends SparkSuite {
     val caught = pruned.intersect(dupIds).size
     info(f"planted dups pruned: $caught/$nDup; total pruned ${pruned.size}")
     assert(caught >= (nDup * 0.9).toInt, s"only $caught/$nDup planted dups pruned")
+    // q92p's corpus-sized quantizer (k = ivfK(660) = 10 here): smaller
+    // cells must not lose the planted dups (cos~0.998 pairs argmax the
+    // same centroid regardless of k) and stay equally sound.
+    val keptP = VectorOps.semanticDedupKept(spark, dir, threshold = 0.9,
+      k = VectorOps.ivfK(corpus.length)).collect().map(_.getLong(0)).toSet
+    val prunedP = all.diff(keptP)
+    assert(prunedP.subsetOf(dominated), s"q92p unsound: ${prunedP.diff(dominated).take(5)}")
+    val caughtP = prunedP.intersect(dupIds).size
+    info(f"q92p (k=${VectorOps.ivfK(corpus.length)}): planted dups pruned $caughtP/$nDup")
+    assert(caughtP >= (nDup * 0.9).toInt, s"q92p only $caughtP/$nDup planted dups pruned")
   }
 
   test("q74p/q30p on driver testdata: sound vs brute, no cartesian product") {
@@ -132,18 +151,20 @@ class VectorOpsLshSpec extends SparkSuite {
       assert(!plan.contains("CartesianProduct"), s"all-pairs join in $name plan")
       assert(SparkEntry.oracleSql.contains(name), s"$name must be oracle-checked")
     }
-    // q92 (kept-ids shape): whoever q92 pruned must be the larger side
-    // of some brute pair — within-cell candidates are a subset of all
-    // pairs at the same threshold.
-    val q92 = SparkEntry.queries("q92_semantic_dedup")(spark, sf)
-    val kept = q92.collect().map(_.getLong(0)).toSet
+    // q92/q92p (kept-ids shape): whoever they pruned must be the larger
+    // side of some brute pair — within-cell candidates are a subset of
+    // all pairs at the same threshold.
     val allIds = spark.read.parquet(s"$sf/embeddings.parquet")
       .select("vec_id").collect().map(_.getLong(0)).toSet
-    val prunedIds = allIds.diff(kept)
-    assert(prunedIds.subsetOf(brute.map(_._2)),
-      s"q92 pruned without a brute partner: ${prunedIds.diff(brute.map(_._2)).take(5)}")
-    assert(!q92.queryExecution.executedPlan.toString.contains("CartesianProduct"))
-    assert(SparkEntry.oracleSql.contains("q92_semantic_dedup"))
+    for (name <- Seq("q92_semantic_dedup", "q92p_semantic_dedup_scaled")) {
+      val q = SparkEntry.queries(name)(spark, sf)
+      val kept = q.collect().map(_.getLong(0)).toSet
+      val prunedIds = allIds.diff(kept)
+      assert(prunedIds.subsetOf(brute.map(_._2)),
+        s"$name pruned without a brute partner: ${prunedIds.diff(brute.map(_._2)).take(5)}")
+      assert(!q.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      assert(SparkEntry.oracleSql.contains(name), s"$name must be oracle-checked")
+    }
   }
 
   test("empty embeddings table: LSH family returns empty, never throws at plan build") {
