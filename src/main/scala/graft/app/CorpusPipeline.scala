@@ -27,6 +27,7 @@ import org.apache.spark.sql.functions._
   *   CorpusPipeline (--rows N [--seed S] | --input path) --out DIR
   *     [--eval path] [--window W] [--stride S] [--quality q] [--cluster]
   *     [--span-dedup] [--pack] [--host-cap K] [--stats] [--links]
+  *     [--provenance]
   */
 object CorpusPipeline {
 
@@ -44,7 +45,8 @@ object CorpusPipeline {
       pack: Boolean = false,
       hostCap: Int = 0,
       stats: Boolean = false,
-      links: Boolean = false)
+      links: Boolean = false,
+      provenance: Boolean = false)
 
   def parseArgs(argv: Array[String]): Args = {
     var a = Args()
@@ -65,6 +67,7 @@ object CorpusPipeline {
         case "--host-cap" => a = a.copy(hostCap = argv(i + 1).toInt); i += 2
         case "--stats" => a = a.copy(stats = true); i += 1
         case "--links" => a = a.copy(links = true); i += 1
+        case "--provenance" => a = a.copy(provenance = true); i += 1
         case other => throw new IllegalArgumentException(s"unknown arg: $other")
       }
     }
@@ -112,11 +115,34 @@ object CorpusPipeline {
       stages += "links" -> spark.read.parquet(s"${a.out}/links").count()
     }
 
+    // Provenance sidecar (optional, --provenance): one row per DROPPED
+    // document naming the stage that dropped it and — for the dedup
+    // stages — the surviving representative, the audit record corpus
+    // governance needs ("why is this url not in the training set?").
+    // Each piece is APPENDED while its stage's inputs are still cached,
+    // so the flag never recomputes the kernel; drop detection is a
+    // url-keyed anti-join per stage (the honest cost of the audit).
+    val provPath = s"${a.out}/provenance"
+    if (a.provenance) {
+      val p = new org.apache.hadoop.fs.Path(provPath)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true) // append-mode sidecar: clear prior runs
+    }
+    def recordDrops(df: DataFrame): Unit =
+      if (a.provenance)
+        df.select("url", "stage", "detail").write.mode("append").parquet(provPath)
+    def diffDrops(before: DataFrame, after: DataFrame, stage: String): Unit =
+      if (a.provenance)
+        recordDrops(before.select("url")
+          .join(after.select("url"), Seq("url"), "left_anti")
+          .withColumn("stage", lit(stage)).withColumn("detail", lit("")))
+
     // 1. Extraction (slim schema — the corpus path).
     val extracted = ExtractJob.extractKernel(pages, a.quality, slim = true)
       .where(col("success") && length(col("text")) > 0)
       .select("url", "lang", "text", "word_count").persist()
     stages += "extracted" -> extracted.count()
+    diffDrops(pagesDf, extracted, "extract")
 
     // 2. Quality filter — a deliberately LOOSER Gopher-style subset than
     // the oracle-verified q56 operator: mean_word_len bounds [2,12] here
@@ -139,17 +165,24 @@ object CorpusPipeline {
       .where(col("mean_word_len") >= 2 && col("mean_word_len") <= 12 &&
         col("alpha_frac") >= 0.8)
       .select("url", "lang", "text", "toks").persist()
-    extracted.unpersist()
     stages += "quality" -> quality.count()
+    diffDrops(extracted, quality, "quality")
+    extracted.unpersist()
 
-    // 3. Exact dedup: one shuffle on the 128-bit digest, min url survives.
-    val exact = quality
+    // 3. Exact dedup: one shuffle on the 128-bit digest, min url
+    // survives (the whole-partition min window == the previous
+    // row_number-over-url form, and it names the representative the
+    // provenance rows record).
+    val ranked = quality
       .withColumn("digest", md5(col("text")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("digest").orderBy("url")))
-      .where(col("rk") === 1).drop("rk", "digest").persist()
-    quality.unpersist()
+      .withColumn("rep", min("url").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("digest")))
+    val exact = ranked.where(col("url") === col("rep"))
+      .drop("rep", "digest").persist()
     stages += "exact_dedup" -> exact.count()
+    recordDrops(ranked.where(col("url") =!= col("rep"))
+      .select(col("url"), lit("exact_dup").as("stage"), col("rep").as("detail")))
+    quality.unpersist()
 
     // 4. Near-dup dedup: q24p sketch (xxhash64 minhash, 8 bands × 2) →
     // exact-Jaccard verify → drop the larger url of every verified pair
@@ -176,17 +209,22 @@ object CorpusPipeline {
       .join(sk.select(col("url").as("url_b"), col("hsh").as("h_b")), Seq("url_b"))
       .where(graft.queries.Sketch.jaccard(col("h_a"), col("h_b")) >= lit(0.5))
       .select("url_a", "url_b")
-    val dropUrls =
-      if (a.cluster)
-        // q35-style connected components: keep the min-url representative
-        // of each TRUE cluster; no chain over-drop.
+    // Drop set carries the representative: cluster mode's label IS the
+    // kept min-url representative; union-drop names the smallest
+    // verified partner (which may itself have been dropped for another
+    // — the documented union-drop chain semantics).
+    val dropDetailed =
+      (if (a.cluster)
         connectedComponents(verified)
           .where(col("node") =!= col("label"))
-          .select(col("node").as("url")).distinct()
-      else verified.select(col("url_b").as("url")).distinct()
+          .select(col("node").as("url"), col("label").as("detail"))
+      else verified.groupBy("url_b").agg(min("url_a").as("detail"))
+        .withColumnRenamed("url_b", "url")).distinct()
+    val dropUrls = dropDetailed.select("url")
     val nearDeduped0 = exact.join(dropUrls, Seq("url"), "left_anti").persist()
-    exact.unpersist()
     stages += "near_dedup" -> nearDeduped0.count()
+    recordDrops(dropDetailed.withColumn("stage", lit("near_dup")))
+    exact.unpersist()
 
     // 4.5. Per-host cap (optional, q80 shape): at most --host-cap docs
     // per url host, chosen by deterministic md5(url) rank — RefinedWeb-
@@ -205,6 +243,7 @@ object CorpusPipeline {
           Window.partitionBy("host").orderBy(md5(col("url")), col("url"))))
         .where(col("rk") <= a.hostCap).drop("rk", "host").persist()
       stages += "host_capped" -> kept.count()
+      diffDrops(nearDeduped0, kept, "host_cap")
       nearDeduped0.unpersist()
       kept
     }
@@ -233,6 +272,10 @@ object CorpusPipeline {
         .withColumn("toks", tokens(col("text")))
         .persist()
       stages += "span_dedup" -> rebuilt.count()
+      // Only FULL drops (every paragraph was a repeat) are provenance
+      // rows; surviving docs with some paragraphs removed keep their
+      // url in the corpus and are not "dropped".
+      diffDrops(nearDeduped, rebuilt, "span_dedup")
       nearDeduped.unpersist()
       rebuilt
     }
@@ -252,6 +295,8 @@ object CorpusPipeline {
         .select(col("url"), explode_outer(sh5(col("toks"))).as("shingle"))
         .join(broadcast(evalSh), Seq("shingle"))
         .select("url").distinct()
+      recordDrops(contaminated
+        .withColumn("stage", lit("decontaminated")).withColumn("detail", lit("")))
       spanned.join(contaminated, Seq("url"), "left_anti").persist()
     } else spanned
     stages += "decontaminated" -> clean.count()
@@ -342,6 +387,16 @@ object CorpusPipeline {
             x => x.getField("tok"))).as("sequence_text"))
       seqs.write.mode("overwrite").parquet(s"${a.out}/packed_sequences")
       stages += "packed" -> spark.read.parquet(s"${a.out}/packed_sequences").count()
+    }
+
+    if (a.provenance) {
+      // Explicit schema: a run that dropped nothing appends no part
+      // files, and schema inference over a _SUCCESS-only dir would fail.
+      import org.apache.spark.sql.types._
+      val provSchema = StructType(Seq(StructField("url", StringType),
+        StructField("stage", StringType), StructField("detail", StringType)))
+      stages += "provenance_drops" ->
+        spark.read.schema(provSchema).parquet(provPath).count()
     }
 
     windows.unpersist(); clean.unpersist()

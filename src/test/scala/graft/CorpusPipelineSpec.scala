@@ -234,4 +234,43 @@ class CorpusPipelineSpec extends SparkSuite {
       assert(t.startsWith("https://") || t.startsWith("http://"), s"$src -> $t")
     }
   }
+
+  test("--provenance: dropped and surviving urls partition the input; dedup rows name a smaller representative") {
+    val out = tmpDir("cp_prov")
+    val stages = CorpusPipeline.run(spark,
+      Args(rows = 800, out = out, provenance = true, cluster = true)).toMap
+    val prov = spark.read.parquet(s"$out/provenance")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(prov.length.toLong == stages("provenance_drops"))
+    // Every url is dropped AT MOST once (the first stage that drops it).
+    assert(prov.map(_._1).distinct.length == prov.length, "url dropped twice")
+    // Partition: drops + survivors == all input pages, disjoint by
+    // construction (survivor count == the decontaminated stage).
+    val allUrls = graft.synth.PageGen.generate(spark, 800).collect().map(_.url).toSet
+    val dropped = prov.map(_._1).toSet
+    assert(dropped.subsetOf(allUrls))
+    assert((allUrls.size - dropped.size).toLong == stages("decontaminated"),
+      s"${allUrls.size} - ${dropped.size} != ${stages("decontaminated")}")
+    // Stage labels are the pipeline's own; dedup rows carry a STRICTLY
+    // SMALLER representative url (min-url keep rule, both dedup stages),
+    // which is itself an input url.
+    val stagesSeen = prov.map(_._2).toSet
+    assert(stagesSeen.subsetOf(Set("extract", "quality", "exact_dup", "near_dup")))
+    // PageGen's planted dup clusters are byte-identical, so exact dedup
+    // catches them all here (near-dup drops need near-but-not-exact
+    // twins — the dedicated --cluster test plants those).
+    assert(stagesSeen("exact_dup"),
+      s"planted dup clusters must produce exact_dup drops, saw $stagesSeen")
+    prov.filter(p => p._2 == "exact_dup" || p._2 == "near_dup").foreach {
+      case (url, st, rep) =>
+        assert(rep.nonEmpty && rep < url && allUrls(rep), s"$st $url -> '$rep'")
+    }
+    // The flag must not change the corpus: rerun without it and compare
+    // the written sample.
+    val out2 = tmpDir("cp_prov_off")
+    CorpusPipeline.run(spark, Args(rows = 800, out = out2, cluster = true))
+    val a = spark.read.parquet(s"$out/training_windows")
+    val b = spark.read.parquet(s"$out2/training_windows")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
