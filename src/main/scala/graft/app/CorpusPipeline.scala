@@ -171,8 +171,10 @@ object CorpusPipeline {
 
     // 3. Exact dedup: one shuffle on the 128-bit digest, min url
     // survives (the whole-partition min window == the previous
-    // row_number-over-url form, and it names the representative the
-    // provenance rows record).
+    // row_number-over-url form — url is the table's identity key per
+    // the north rule, as app.TwoPass documents; duplicate-url input is
+    // malformed — and it names the representative the provenance rows
+    // record).
     val ranked = quality
       .withColumn("digest", md5(col("text")))
       .withColumn("rep", min("url").over(
