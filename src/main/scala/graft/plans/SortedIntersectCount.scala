@@ -154,6 +154,78 @@ case class VectorDot(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** `graft_might_contain(bloom, longValue)` — bloom membership probe with
+  * whole-stage codegen. Spark's own `BloomFilterMightContain` generates
+  * `mightContainLong((Long)<literal>)` when the probe value constant-
+  * folds; with a NEGATIVE literal Janino parses that as `Long` minus the
+  * literal ("Expression java.lang.Long is not an rvalue") and the stage
+  * silently drops to interpreted mode. This twin keeps Spark's null
+  * semantics exactly (null/absent bloom → null, null value → null) and
+  * emits a parenthesized primitive operand, so constant probes — the
+  * shape `SqlSmoke` exercises — compile. The bloom side must be constant
+  * per query (literal or scalar subquery, as in Spark's expression): it
+  * deserializes ONCE per expression instance, never per row.
+  */
+case class GraftBloomProbe(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+  import org.apache.spark.sql.types.{BinaryType, BooleanType}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType)
+          if left.foldable ||
+            left.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]] =>
+        TypeCheckResult.TypeCheckSuccess
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a CONSTANT bloom (literal or scalar subquery)")
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, bigint) arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_might_contain"
+
+  // Forced only at execution prep (eval/doGenCode), when a scalar
+  // subquery's value is available — same lifecycle as Spark's impl.
+  @transient private lazy val bloom: org.apache.spark.util.sketch.BloomFilter = {
+    val bytes = left.eval().asInstanceOf[Array[Byte]]
+    if (bytes == null) null
+    else org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    if (bloom == null) null
+    else {
+      val v = right.eval(input)
+      if (v == null) null else bloom.mightContainLong(v.asInstanceOf[Long])
+    }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (bloom == null)
+      ev.copy(code = code"boolean ${ev.isNull} = true; boolean ${ev.value} = false;")
+    else {
+      val bf = ctx.addReferenceObj("graftBloom", bloom,
+        classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+      val r = right.genCode(ctx)
+      ev.copy(code =
+        code"""
+           |${r.code}
+           |boolean ${ev.isNull} = ${r.isNull};
+           |boolean ${ev.value} = false;
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = $bf.mightContainLong((long)(${r.value}));
+           |}
+         """.stripMargin)
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftBloomProbe =
+    copy(left = newLeft, right = newRight)
+}
+
 object GraftFunctions {
   val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("sorted_intersect_count"),
@@ -181,12 +253,14 @@ object GraftFunctions {
       (exprs: Seq[Expression]) =>
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           exprs(0), exprs(1))),
+    // Probe is our codegen-safe twin of Spark's BloomFilterMightContain
+    // (identical null semantics) — Spark's generates a bare
+    // `(Long)<negative literal>` cast for constant-folded probe values,
+    // which Janino rejects and the stage then runs interpreted. See
+    // GraftBloomProbe.
     (FunctionIdentifier("graft_might_contain"),
-      new ExpressionInfo(
-        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
-        "graft_might_contain"),
-      (exprs: Seq[Expression]) =>
-        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+      new ExpressionInfo(classOf[GraftBloomProbe].getName, "graft_might_contain"),
+      (exprs: Seq[Expression]) => GraftBloomProbe(exprs(0), exprs(1))))
 
   /** Imperative registration (idempotent) for sessions built without the
     * extensions config.
